@@ -1,0 +1,106 @@
+"""Typed configuration objects for the KNP-EMI solver.
+
+The reference (adajel/KNP-EMI-DG) passes plain namedtuples and dicts around
+(e.g. examples/idealized-geometries/run_2D.py:94-98, :117-142,
+:185-192).  Here the same semantic fields live in frozen dataclasses so they
+are hashable / usable as jit static arguments, while `Ion` remains a thin
+record matching the reference's ion-dict protocol (keys ``name, z, D_sub,
+c_init_sub, c_init_sub_type, f_source, bdry``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PhysicalParams:
+    """Physical parameters (reference: `params` namedtuple, run_2D.py:94-98).
+
+    Units are whatever the application chooses (SI in idealized-geometries,
+    cm/ms/mV-ish in emix-simulations) -- the framework is unit agnostic,
+    mirroring the reference.
+    """
+
+    dt: float                                   # global (PDE) time step
+    F: float = 96485.0                          # Faraday constant
+    R: float = 8.314                            # gas constant
+    temperature: float = 300.0                  # temperature
+    C_M: float = 0.02                           # membrane capacitance
+    C_phi: Optional[float] = None               # coupling coeff, default C_M/dt
+    n_steps_ODE: int = 25                       # ODE substeps per PDE step
+    phi_M_init: Any = 0.0                       # float | callable(x)->val | array
+    phi_M_init_type: str = "constant"           # constant | expression | function
+    rho_sub: Optional[Dict[int, Any]] = None    # immobile background charge per subdomain
+
+    def __post_init__(self):
+        if self.C_phi is None:
+            self.C_phi = self.C_M / self.dt
+
+    @property
+    def psi(self) -> float:
+        return self.F / (self.R * self.temperature)
+
+
+@dataclasses.dataclass
+class Ion:
+    """One ion species (reference ion dict, run_2D.py:117-142).
+
+    ``D_sub``/``c_init_sub`` map subdomain tag -> value, where a value is a
+    float (``c_init_sub_type='constant'``), a callable of position
+    (``'expression'``), or an array of per-cell nodal values (``'function'``).
+    The *last* ion of the ion list is eliminated via electroneutrality
+    (solver.py:819-838).
+    """
+
+    name: str
+    z: float
+    D_sub: Dict[int, float]
+    c_init_sub: Dict[int, Any]
+    c_init_sub_type: str = "constant"
+    f_source: Any = 0.0                 # callable(x, t)->val or float (ECS source, dx(0))
+    bdry: Any = None                    # exterior Neumann flux (MMS only)
+    # --- MMS-only fields (tests/mms_space.py data) ---
+    C_sub: Optional[Dict[int, float]] = None
+    f1: Any = None                      # volume source subdomain 1 (ICS)
+    f2: Any = None                      # volume source subdomain 0 (ECS)
+    g_robin_1: Any = None               # per-wall robin data, ICS side
+    g_robin_2: Any = None               # per-wall robin data, ECS side
+
+
+def ion_from_dict(d: Dict[str, Any]) -> Ion:
+    """Accept reference-style ion dicts verbatim."""
+    known = {f.name for f in dataclasses.fields(Ion)}
+    kw = {k: v for k, v in d.items() if k in known}
+    return Ion(**kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverParams:
+    """Linear solver configuration (reference `solver_params` namedtuple,
+    run_2D.py:185-192; PETSc options solver.py:406-468, :665-721)."""
+
+    direct_emi: bool = False
+    direct_knp: bool = False
+    resolution: int = 0
+    rtol_emi: float = 1e-5
+    rtol_knp: float = 1e-7
+    atol_emi: float = 1e-40
+    atol_knp: float = 2e-40
+    threshold_emi: Optional[float] = None   # kept for API parity (AMG knob)
+    threshold_knp: Optional[float] = None
+    max_it_emi: int = 1000                  # ksp_max_it (solver.py:429, :687)
+    max_it_knp: int = 1000
+    gmres_restart: int = 20
+    verbose: bool = False
+
+
+@dataclasses.dataclass
+class StimParams:
+    """Membrane stimulus (reference `stim_params`, run_2D.py:152-154)."""
+
+    stimulus: Optional[Dict[str, float]] = None
+    stimulus_locator: Optional[Callable[[np.ndarray], bool]] = None
+    g_syn_bar: float = 0.0

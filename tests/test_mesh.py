@@ -1,0 +1,122 @@
+import numpy as np
+import pytest
+
+from knpemidg_tpu.mesh.core import build_mesh
+from knpemidg_tpu.mesh.generators import box_2d_neuron, box_3d_axons, box_mesh, mms_square
+from knpemidg_tpu.fem.tabulation import build_geometry, build_membrane_tables
+
+
+def test_mms_square_topology():
+    m = mms_square(4)
+    n = 16
+    assert m.num_cells == 2 * n * n
+    assert m.dim == 2
+    # subdomain tags: inner box [0.25,0.75]^2 is a quarter of the area
+    assert m.cell_tags.sum() == 2 * (n // 2) ** 2
+    # four walls, each 0.5 long with h=1/16 edges
+    for tag in (1, 2, 3, 4):
+        assert (m.if_tags == tag).sum() == n // 2
+    # exterior facets tagged 5..8
+    assert set(np.unique(m.ef_tags)) == {5, 6, 7, 8}
+    assert (m.ef_tags > 0).all()
+    # canonical orientation: plus cell is ECS (tag 0) on membrane facets
+    mem = m.if_tags > 0
+    assert (m.cell_tags[m.if_cells[mem, 0]] == 0).all()
+    assert (m.cell_tags[m.if_cells[mem, 1]] == 1).all()
+
+
+def test_cf_maps_consistent():
+    m = mms_square(3)
+    nf = m.num_interior_facets
+    counts = np.zeros(nf, dtype=int)
+    plus_counts = np.zeros(nf, dtype=int)
+    for c in range(m.num_cells):
+        for l in range(m.dim + 1):
+            f = m.cf_idx[c, l]
+            if f < nf:
+                counts[f] += 1
+                if m.cf_is_plus[c, l]:
+                    assert m.if_cells[f, 0] == c
+                    plus_counts[f] += 1
+                else:
+                    assert m.if_cells[f, 1] == c
+    assert (counts == 2).all()
+    assert (plus_counts == 1).all()
+
+
+def test_geometry_2d():
+    m = mms_square(3)
+    g = build_geometry(m)
+    assert abs(g.vol.sum() - 1.0) < 1e-12
+    # P1 gradient of a linear function is exact
+    f = lambda x: 2.0 * x[:, 0] - 3.0 * x[:, 1] + 1.0
+    u = f(m.vertices)[m.cells]                       # (nc, 3)
+    grads = np.einsum("cid,ci->cd", g.G, u)
+    assert np.allclose(grads, [2.0, -3.0])
+    # trace matrices: partition of unity + continuity of linear function
+    nf = m.num_interior_facets
+    assert np.allclose(g.f_Rp[:nf].sum(axis=2), 1.0)
+    tp = np.einsum("fqi,fi->fq", g.f_Rp[:nf], u[g.f_cp[:nf]])
+    tm = np.einsum("fqi,fi->fq", g.f_Rm[:nf], u[g.f_cm[:nf]])
+    assert np.allclose(tp, tm)
+    exact = 2.0 * g.f_qp[:nf, :, 0] - 3.0 * g.f_qp[:nf, :, 1] + 1.0
+    assert np.allclose(tp, exact)
+    # membrane normals point ECS -> ICS: wall 1 at x=0.25 has normal +x
+    w1 = g.f_stag[:nf] == 1
+    assert np.allclose(g.f_n[:nf][w1], [1.0, 0.0])
+    w3 = g.f_stag[:nf] == 3
+    assert np.allclose(g.f_n[:nf][w3], [-1.0, 0.0])
+    # facet areas: structured mesh edges
+    assert abs(g.f_area[:nf][w1].sum() - 0.5) < 1e-12
+    # exterior normals point out of the domain
+    out = np.einsum("fd,fd->f", g.e_n, (g.e_qp.mean(axis=1) - 0.5))
+    assert (out > 0).all()
+
+
+def test_geometry_3d():
+    v, c = box_mesh((0, 0, 0), (1, 2, 3), 3, 4, 5)
+    m = build_mesh(v, c, np.zeros(len(c), dtype=np.int32))
+    g = build_geometry(m, quad_degree_cell=2, quad_degree_facet=2)
+    assert abs(g.vol.sum() - 6.0) < 1e-10
+    # surface area of the box = 2*(1*2 + 1*3 + 2*3) = 22
+    assert abs(g.e_area.sum() - 22.0) < 1e-10
+    f = lambda x: x[:, 0] + 4 * x[:, 1] - 2 * x[:, 2]
+    u = f(m.vertices)[m.cells]
+    grads = np.einsum("cid,ci->cd", g.G, u)
+    assert np.allclose(grads, [1.0, 4.0, -2.0])
+    nf = m.num_interior_facets
+    tp = np.einsum("fqi,fi->fq", g.f_Rp[:nf], u[g.f_cp[:nf]])
+    tm = np.einsum("fqi,fi->fq", g.f_Rm[:nf], u[g.f_cm[:nf]])
+    assert np.allclose(tp, tm)
+
+
+def test_membrane_tables():
+    m = mms_square(4)
+    t = build_membrane_tables(m, [1, 2, 3, 4])
+    assert t.n_mem == 4 * 8
+    assert t.tags == (1, 2, 3, 4)
+    for tag in (1, 2, 3, 4):
+        s0, s1 = t.slices[tag]
+        assert (m.if_tags[t.fidx[s0:s1]] == tag).all()
+    # inverse map round-trips
+    assert (t.mem_of_facet[t.fidx] == np.arange(t.n_mem)).all()
+    nonmem = np.setdiff1d(np.arange(m.num_interior_facets), t.fidx)
+    assert (t.mem_of_facet[nonmem] == t.n_mem).all()
+
+
+def test_box_generators():
+    m2 = box_2d_neuron(0)
+    assert m2.cell_tags.max() == 1
+    assert (m2.if_tags == 1).sum() > 0
+    assert set(np.unique(m2.ef_tags)) == {5}
+    # neuron membrane facets separate tag-0 and tag-1 cells
+    mem = m2.if_tags == 1
+    assert (m2.cell_tags[m2.if_cells[mem, 0]] == 0).all()
+    assert (m2.cell_tags[m2.if_cells[mem, 1]] == 1).all()
+
+    m3 = box_3d_axons(0, length_factor=1)
+    assert set(np.unique(m3.if_tags)) == {0, 1, 2}
+    assert set(np.unique(m3.ef_tags)) == {5}
+    mem = m3.if_tags > 0
+    assert (m3.cell_tags[m3.if_cells[mem, 0]] == 0).all()
+    assert (m3.cell_tags[m3.if_cells[mem, 1]] == 1).all()
