@@ -1,0 +1,106 @@
+"""Vmapped membrane ODE engine.
+
+Replaces the reference's per-facet sequential LSODA loop
+(src/knpemidg/membrane.py:84-119, numbalsoda) with a fixed-substep RK4
+integrator vmapped over all membrane points at once -- the per-point ODEs
+are independent, so on TPU this is a single batched elementwise program
+(SURVEY.md N5).  `n_steps_ODE` substeps per PDE step mirror the reference
+apps (run_2D.py:67).
+
+Model protocol (the JAX analog of the gotran module protocol,
+examples/idealized-geometries/mm_hh.py):
+
+    STATES:  dict  name -> state index   ('V' = membrane potential)
+    PARAMS:  dict  name -> parameter index
+    init_states()  -> np.ndarray (n_states,)
+    init_params()  -> np.ndarray (n_params,)
+    rhs(t, y, p)   -> dy/dt  (pure jnp, single point; engine vmaps)
+    currents(t, y, p) -> dict name -> value  (channel currents; the
+        reference writes these into the parameter array inside the RHS,
+        mm_hh.py:154-159 -- here they are computed functionally from the
+        final state)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MembraneState:
+    """States/params for all membrane points of one tag (pytree)."""
+
+    states: jnp.ndarray                       # (n, n_states)
+    params: jnp.ndarray                       # (n, n_params)
+    model: Any = dataclasses.field(metadata=dict(static=True))
+
+    # -- convenience accessors (reference set_state/get_state, membrane.py:44-77)
+    def has_param(self, name) -> bool:
+        return name in self.model.PARAMS
+
+    def has_state(self, name) -> bool:
+        return name in self.model.STATES
+
+    def get_state(self, name):
+        return self.states[:, self.model.STATES[name]]
+
+    def replace_state(self, name, values):
+        return dataclasses.replace(
+            self, states=self.states.at[:, self.model.STATES[name]].set(values)
+        )
+
+
+def make_membrane(model, midpoints: np.ndarray, dtype=jnp.float64) -> MembraneState:
+    n = len(midpoints)
+    s0 = np.asarray(model.init_states(), dtype=np.float64)
+    p0 = np.asarray(model.init_params(), dtype=np.float64)
+    return MembraneState(
+        states=jnp.asarray(np.tile(s0, (n, 1)), dtype=dtype),
+        params=jnp.asarray(np.tile(p0, (n, 1)), dtype=dtype),
+        model=model,
+    )
+
+
+def set_param(mm: MembraneState, name: str, values) -> MembraneState:
+    return dataclasses.replace(
+        mm, params=mm.params.at[:, mm.model.PARAMS[name]].set(values)
+    )
+
+
+def get_param(mm: MembraneState, name: str):
+    return mm.params[:, mm.model.PARAMS[name]]
+
+
+def ode_step(mm: MembraneState, t, dt: float, n_sub: int) -> MembraneState:
+    """Advance all points by dt with n_sub RK4 substeps, then refresh the
+    channel-current parameters from the final state."""
+    model = mm.model
+    h = dt / n_sub
+
+    def rk4_point(y, p):
+        def sub(i, carry):
+            y, tt = carry
+            k1 = model.rhs(tt, y, p)
+            k2 = model.rhs(tt + 0.5 * h, y + 0.5 * h * k1, p)
+            k3 = model.rhs(tt + 0.5 * h, y + 0.5 * h * k2, p)
+            k4 = model.rhs(tt + h, y + h * k3, p)
+            return (y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), tt + h)
+
+        y, _ = jax.lax.fori_loop(0, n_sub, sub, (y, jnp.asarray(t, y.dtype)))
+        return y
+
+    states = jax.vmap(rk4_point)(mm.states, mm.params)
+    mm = dataclasses.replace(mm, states=states)
+
+    # write back channel currents at (t+dt, y_final) -- the reference's RHS
+    # side effect (mm_hh.py:154-159) evaluated at the end of the interval
+    cur = jax.vmap(lambda y, p: model.currents(t + dt, y, p))(states, mm.params)
+    params = mm.params
+    for name, vals in cur.items():
+        params = params.at[:, model.PARAMS[name]].set(vals)
+    return dataclasses.replace(mm, params=params)

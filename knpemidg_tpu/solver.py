@@ -1,0 +1,534 @@
+"""Coupled KNP-EMI solver (TPU-native rebuild of src/knpemidg/solver.py).
+
+Mathematical model (solver.py:30-60): for each ion k,
+``dc_k/dt + div J_k = f_k`` with ``J_k = -D_k grad c_k - z_k D_k psi c_k
+grad phi``; charge conservation ``-F sum_k z_k div J_k = 0``; the last ion is
+eliminated by electroneutrality; membrane facets carry capacitive + channel
+dynamics through a Robin interface condition with C_phi = C_M/dt.
+
+Splitting scheme (solver.py:36-43): per time step
+  step 0 (ODE):  advance membrane ODEs (vmapped fixed-substep RK4),
+  step I (EMI):  elliptic DG solve for phi (CG + block-Jacobi, nullspace
+                 projected; or host direct solve),
+  step II (KNP): parabolic DG solve per solved ion (GMRES + block-Jacobi,
+                 ions batched),
+then update phi_M = JUMP(phi), Nernst potentials, eliminated ion.
+
+Everything device-side is pure-functional; the per-step PDE pipeline is one
+jitted function (assembly is batched einsums, Krylov loops are
+lax.while_loop).  The outer time loop runs on host for I/O and stats,
+matching the reference's per-step instrumentation (solver.py:1146-1198).
+"""
+from __future__ import annotations
+
+import time as _time
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import Ion, PhysicalParams, SolverParams, StimParams, ion_from_dict
+from .mesh.core import Mesh
+from .fem.tabulation import build_geometry, build_membrane_tables
+from .ops import assembly
+from .ops.spmv import bell_matvec, block_jacobi_apply, block_jacobi_inverse
+from .solvers.krylov import gmres, pcg
+from .solvers import direct as direct_solvers
+from .membrane.engine import MembraneState, make_membrane, ode_step, set_param, get_param
+from .utils.stats import SolverStats, bcolors
+
+
+class Traces:
+    """Membrane-trace helpers handed to `update_ode` (the reference pushes
+    pcws_constant_project(plus/minus(c)) into ODE params, run_2D.py:38-49).
+    Index `k` refers to the full ion list; the last ion is the eliminated
+    one."""
+
+    def __init__(self, solver, c, c_elim, sl):
+        self._s = solver
+        self._c = c
+        self._elim = c_elim
+        self._sl = sl  # (start, stop) membrane slice of this tag
+
+    def _field(self, k):
+        n = len(self._s.ion_list)
+        return self._elim if k == n - 1 else self._c[k]
+
+    def plus(self, k):
+        """ECS-side facet-average trace of ion k on this tag's membranes."""
+        g, mem = self._s.g, self._s.mem_dev
+        vals = assembly.membrane_avg(g, mem["fidx"], self._field(k), "p")
+        return vals[self._sl[0]:self._sl[1]]
+
+    def minus(self, k):
+        """ICS-side facet-average trace of ion k."""
+        g, mem = self._s.g, self._s.mem_dev
+        vals = assembly.membrane_avg(g, mem["fidx"], self._field(k), "m")
+        return vals[self._sl[0]:self._sl[1]]
+
+    def ion_index(self, name):
+        return self._s.ion_names.index(name)
+
+
+class Solver:
+    """Reference-parity API (solver.py:62-84): construct, then
+    setup_domain -> setup_parameters -> setup_FEM_spaces ->
+    [setup_membrane_model] -> solve_system_{active,passive}."""
+
+    def __init__(self, params, ion_list, degree_emi=1, degree_knp=1, mms=None,
+                 sf=1, dtype=None):
+        if degree_emi != 1 or degree_knp != 1:
+            raise NotImplementedError("DG degree 1 only (reference runs use 1)")
+        self.params = params if isinstance(params, PhysicalParams) else params
+        self.ion_list = [
+            i if isinstance(i, Ion) else ion_from_dict(i) for i in ion_list
+        ]
+        self.ion_names = [i.name for i in self.ion_list]
+        self.N_ions = len(ion_list) - 1      # number of *solved* ions
+        self.mms = mms
+        self.sf = sf
+        self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        self.stats = SolverStats()
+        self.mem_models: Dict[int, Any] = {}
+        self.splitting_scheme = True
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    # setup phases
+    # ------------------------------------------------------------------
+    def setup_domain(self, mesh: Mesh, quad_degree: Optional[int] = None):
+        """Build geometry tables; penalty tau = 20 * gdim * degree
+        (solver.py:110-111)."""
+        self.mesh = mesh
+        qd = quad_degree or 4
+        self.geom = build_geometry(mesh, quad_degree_cell=qd, quad_degree_facet=qd)
+        self.g = self.geom.to_device(self.dtype)
+        self.gdim = mesh.dim
+        self.tau = 20.0 * self.gdim * 1
+        self.n_cells = mesh.num_cells
+        self.nd = mesh.dim + 1
+        # characteristic domain length for the B-operator mass scaling
+        # (solver.py:383-393)
+        ext = mesh.vertices.max(axis=0) - mesh.vertices.min(axis=0)
+        self.Lp = float(ext.max())
+        if self.mms is not None:
+            self._set_membrane_tags(list(self.mms.wall_tags))
+        return self
+
+    def _set_membrane_tags(self, tags):
+        self.tables = build_membrane_tables(self.mesh, tags)
+        self.mem_dev = self.tables.to_device(self.dtype)
+        nf1 = self.geom.f_stag.shape[0]
+        self.masks = {
+            "f_sip": jnp.asarray(self.geom.f_stag == 0),
+            "f_mem": jnp.asarray(self.tables.mem_of_facet < self.tables.n_mem),
+            "f_memidx": jnp.asarray(self.tables.mem_of_facet, dtype=jnp.int32),
+        }
+        self.n_mem = self.tables.n_mem
+
+    def _cellwise(self, sub: Dict[int, Any]) -> np.ndarray:
+        """Per-subdomain dict -> per-cell P0 array (reference make_global,
+        solver.py:1244-1258)."""
+        out = np.zeros(self.n_cells)
+        for tag, val in sub.items():
+            out[self.mesh.cell_tags == tag] = float(val)
+        return out
+
+    def setup_parameters(self):
+        """Diffusion fields per ion + background charge (solver.py:124-154)."""
+        p = self.params
+        self.D = jnp.asarray(
+            np.stack([self._cellwise(ion.D_sub) for ion in self.ion_list]),
+            dtype=self.dtype,
+        )
+        rho = p.rho_sub if p.rho_sub is not None else {}
+        self.rho = jnp.asarray(self._cellwise(rho) if rho else np.zeros(self.n_cells),
+                               dtype=self.dtype)
+        self.z = jnp.asarray([float(i.z) for i in self.ion_list], dtype=self.dtype)
+        return self
+
+    def _interp_init(self, sub, kind) -> np.ndarray:
+        """Nodal interpolation of initial data per subdomain
+        (solver.py:179-206)."""
+        coords = self.mesh.vertices[self.mesh.cells]       # (nc, nd, d)
+        out = np.zeros((self.n_cells, self.nd))
+        if kind == "function":
+            return np.asarray(sub, dtype=np.float64)
+        for tag, val in sub.items():
+            m = self.mesh.cell_tags == tag
+            if kind == "constant":
+                out[m] = float(val)
+            elif kind == "expression":
+                out[m] = np.asarray(val(coords[m]))
+            else:
+                raise ValueError(
+                    f"initial condition type {kind!r} not recognized -- use "
+                    f"'constant', 'expression' or 'function'"
+                )
+        return out
+
+    def setup_FEM_spaces(self):
+        """Initial conditions for concentrations, potential, phi_M
+        (solver.py:157-225)."""
+        c0 = []
+        for ion in self.ion_list:
+            c0.append(self._interp_init(ion.c_init_sub, ion.c_init_sub_type))
+        self.c_init = jnp.asarray(np.stack(c0[:-1]), dtype=self.dtype)
+        self.c_elim_init = jnp.asarray(c0[-1], dtype=self.dtype)
+        self.phi_init = jnp.zeros((self.n_cells, self.nd), dtype=self.dtype)
+        return self
+
+    def setup_membrane_model(self, stim_params: StimParams, odes: Dict[int, Any]):
+        """One vmapped ODE system per membrane tag (reference MembraneModel,
+        membrane.py:9-41); Cm pushed into ODE params (solver.py:248);
+        stimulus applied via the spatial locator mask (membrane.py:92-104)."""
+        self._set_membrane_tags(sorted(odes))
+        self.stim_params = stim_params
+        self.mem_models = {}
+        for tag, model in odes.items():
+            s0, s1 = self.tables.slices[tag]
+            mids = self.tables.midpoints[s0:s1]
+            mm = make_membrane(model, mids, dtype=self.dtype)
+            mm = set_param(mm, "Cm", jnp.full(s1 - s0, self.params.C_M, self.dtype))
+            if stim_params is not None and stim_params.stimulus:
+                locator = stim_params.stimulus_locator or (lambda x: True)
+                mask = np.array([bool(locator(x)) for x in mids])
+                for key, value in stim_params.stimulus.items():
+                    cur = np.asarray(get_param(mm, key))
+                    cur[mask] = value
+                    mm = set_param(mm, key, jnp.asarray(cur, dtype=self.dtype))
+            self.mem_models[tag] = mm
+        return self
+
+    # ------------------------------------------------------------------
+    # subclass hook (reference solver.py:1137-1144)
+    # ------------------------------------------------------------------
+    def update_ode(self, tag: int, traces: Traces) -> Dict[str, jnp.ndarray]:
+        """Return {ode_param_name: per-facet values} pushed into the tag's
+        ODE parameters each step.  Subclasses implement this (e.g. K_e
+        plus-trace / Na_i minus-trace, run_2D.py:38-49)."""
+        raise NotImplementedError("Subclasses must implement update_ode")
+
+    # ------------------------------------------------------------------
+    # assembly wrappers
+    # ------------------------------------------------------------------
+    def _phys_emi(self):
+        p = self.params
+        return {
+            "F": p.F, "psi": p.psi, "C_phi": p.C_phi,
+            "tau_emi": self.tau, "Lp": self.Lp,
+        }
+
+    def _phys_knp(self):
+        p = self.params
+        return {
+            "F": p.F, "psi": p.psi, "C_M": p.C_M, "dt": p.dt,
+            "tau_knp": self.tau,
+        }
+
+    def _all_c(self, c, c_elim):
+        return jnp.concatenate([c, c_elim[None]], axis=0)
+
+    def _assemble_emi(self, c, c_elim, phi_M_pad, I_ch_tot_pad, t):
+        ions = {"z": self.z, "D": self.D, "c": self._all_c(c, c_elim)}
+        return assembly.assemble_emi(
+            self.g, self.masks, ions, self._phys_emi(),
+            phi_M=phi_M_pad, I_ch_tot=I_ch_tot_pad,
+            splitting=self.splitting_scheme, mms=self.mms, t=t,
+        )
+
+    def _assemble_knp_ion(self, k, c, c_elim, phi, phi_M_pad, I_ch_pad, I_ch_tot_pad, t):
+        call = self._all_c(c, c_elim)
+        alpha_sum = jnp.einsum("k,kc,kci->ci", self.z**2, self.D, call)
+        ion = self.ion_list[k]
+        iond = {
+            "z": float(ion.z), "D": self.D[k],
+            "c_n": c[k], "c_k": c[k],
+        }
+        if self.mms is not None:
+            iond["C_sub_i"] = float(ion.C_sub[1])
+            iond["C_sub_e"] = float(ion.C_sub[0])
+        f_source = ion.f_source if callable(ion.f_source) else None
+        return assembly.assemble_knp(
+            self.g, self.masks, iond, self._phys_knp(), phi, alpha_sum,
+            phi_M=phi_M_pad, I_ch_k=I_ch_pad[k], I_ch_tot=I_ch_tot_pad,
+            f_source=f_source, splitting=self.splitting_scheme,
+            mms=self.mms, mms_ion=k, t=t,
+        )
+
+    # ------------------------------------------------------------------
+    # one PDE time step (steps I + II + updates)
+    # ------------------------------------------------------------------
+    def _pde_step(self, state, solver_params: SolverParams):
+        """Pure function: EMI solve -> KNP solves -> state updates.
+
+        Direct solves (MMS verification) run on host between jitted
+        assemblies; the iterative path is fully traceable.
+        """
+        sp_ = solver_params
+        c, c_elim, phi, phi_M, t = (
+            state["c"], state["c_elim"], state["phi"], state["phi_M"], state["t"]
+        )
+        pad = lambda v: jnp.concatenate([v, jnp.zeros(1, dtype=v.dtype)])
+        phi_M_pad = pad(phi_M)
+        I_ch = state["I_ch"]                         # (n_ions, n_mem)
+        I_ch_pad = jnp.concatenate(
+            [I_ch, jnp.zeros((I_ch.shape[0], 1), dtype=I_ch.dtype)], axis=1
+        )
+        I_ch_tot_pad = I_ch_pad.sum(axis=0)
+
+        stats = {}
+        # ---- step I: EMI ------------------------------------------------
+        asm_emi = self._jit(("asm_emi", self.splitting_scheme), self._assemble_emi)
+        blocks, rhs, Pd = asm_emi(c, c_elim, phi_M_pad, I_ch_tot_pad, t)
+        if sp_.direct_emi:
+            phi_new = jnp.asarray(
+                direct_solvers.solve_direct(blocks, self.g["nbr"], rhs,
+                                            nullspace_constant=True),
+                dtype=self.dtype,
+            )
+            stats["emi_iters"] = jnp.int32(0)
+        else:
+            Pinv = block_jacobi_inverse(Pd)
+            res = pcg(
+                lambda v: bell_matvec(blocks, self.g["nbr"], v),
+                rhs, phi,
+                lambda r: block_jacobi_apply(Pinv, r),
+                rtol=sp_.rtol_emi, atol=sp_.atol_emi, max_it=sp_.max_it_emi,
+                project_nullspace=True,
+            )
+            phi_new = res.x
+            stats["emi_iters"] = res.iters
+        phi = phi_new
+
+        # ---- step II: KNP per solved ion ---------------------------------
+        new_c = []
+        knp_iters = []
+        for k in range(self.N_ions):
+            asm_knp = self._jit(
+                ("asm_knp", k, self.splitting_scheme),
+                partial(self._assemble_knp_ion, k),
+            )
+            blocks, rhs = asm_knp(c, c_elim, phi, phi_M_pad, I_ch_pad, I_ch_tot_pad, t)
+            if sp_.direct_knp:
+                ck = jnp.asarray(
+                    direct_solvers.solve_direct(blocks, self.g["nbr"], rhs),
+                    dtype=self.dtype,
+                )
+                knp_iters.append(jnp.int32(0))
+            else:
+                Pinv = block_jacobi_inverse(blocks[:, 0])
+                res = gmres(
+                    lambda v: bell_matvec(blocks, self.g["nbr"], v),
+                    rhs, c[k],
+                    lambda r: block_jacobi_apply(Pinv, r),
+                    rtol=sp_.rtol_knp, atol=sp_.atol_knp,
+                    max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
+                )
+                ck = res.x
+                knp_iters.append(res.iters)
+            new_c.append(ck)
+        c = jnp.stack(new_c)
+        stats["knp_iters"] = jnp.stack(knp_iters)
+
+        # ---- updates (solver.py:808-845) ---------------------------------
+        phi_M = assembly.jump_phi_M(self.g, self.mem_dev["fidx"], phi)
+        c_elim = assembly.eliminated_concentration(
+            c, self.z[:-1], self.rho, float(self.ion_list[-1].z)
+        )
+        t = t + self.params.dt
+
+        new_state = dict(state)
+        new_state.update(c=c, c_elim=c_elim, phi=phi, phi_M=phi_M, t=t)
+        return new_state, stats
+
+    # ------------------------------------------------------------------
+    # ODE step (step 0 of the splitting, solver.py:1072-1118)
+    # ------------------------------------------------------------------
+    def _ode_step(self, state, first_step: bool):
+        p = self.params
+        c, c_elim, phi_M = state["c"], state["c_elim"], state["phi_M"]
+        new_mem = {}
+        I_ch_rows = []
+        for tag, mm in state["mem"].items():
+            s0, s1 = self.tables.slices[tag]
+            # push PDE -> ODE: membrane potential (skip on first step with
+            # constant phi_M init, solver.py:1086-1094)
+            if not (first_step and p.phi_M_init_type == "constant"):
+                mm = mm.replace_state("V", phi_M[s0:s1])
+            # Nernst potentials for every ion (solver.py:1097-1098)
+            for k, ion in enumerate(self.ion_list):
+                field = c_elim if k == len(self.ion_list) - 1 else c[k]
+                E = assembly.nernst_potential(
+                    self.g, self.mem_dev["fidx"], field, float(ion.z),
+                    p.F, p.R, p.temperature,
+                )[s0:s1]
+                if mm.has_param(f"E_{ion.name}"):
+                    mm = set_param(mm, f"E_{ion.name}", E)
+            # app-specific parameter pushes (subclass hook)
+            upd = self.update_ode(tag, Traces(self, c, c_elim, (s0, s1)))
+            for name, vals in upd.items():
+                mm = set_param(mm, name, vals)
+            # integrate
+            mm = ode_step(mm, state["t"], p.dt, p.n_steps_ODE)
+            new_mem[tag] = mm
+            I_ch_rows.append((s0, s1, mm))
+
+        # pull ODE -> PDE: phi_M and channel currents (solver.py:1108-1113)
+        phi_M_new = phi_M
+        I_ch = jnp.zeros((len(self.ion_list), self.n_mem), dtype=self.dtype)
+        for (s0, s1, mm) in I_ch_rows:
+            phi_M_new = phi_M_new.at[s0:s1].set(mm.get_state("V"))
+            for k, ion in enumerate(self.ion_list):
+                name = f"I_ch_{ion.name}"
+                if mm.has_param(name):
+                    I_ch = I_ch.at[k, s0:s1].set(get_param(mm, name))
+
+        new_state = dict(state)
+        new_state.update(mem=new_mem, phi_M=phi_M_new, I_ch=I_ch)
+        return new_state
+
+    # ------------------------------------------------------------------
+    # initial state
+    # ------------------------------------------------------------------
+    def _initial_state(self, t0: float):
+        p = self.params
+        if p.phi_M_init_type == "constant":
+            phi_M = jnp.full(self.n_mem, float(p.phi_M_init), dtype=self.dtype)
+        elif p.phi_M_init_type == "expression":
+            phi_M = jnp.asarray(
+                np.asarray([p.phi_M_init(x) for x in self.tables.midpoints])
+                if callable(p.phi_M_init) else np.zeros(self.n_mem),
+                dtype=self.dtype,
+            )
+        elif p.phi_M_init_type == "function":
+            phi_M = jnp.asarray(p.phi_M_init, dtype=self.dtype)
+        else:
+            raise ValueError(f"unknown phi_M_init_type {p.phi_M_init_type!r}")
+        state = {
+            "c": self.c_init,
+            "c_elim": self.c_elim_init,
+            "phi": self.phi_init,
+            "phi_M": phi_M,
+            "I_ch": jnp.zeros((len(self.ion_list), self.n_mem), dtype=self.dtype),
+            "t": jnp.asarray(t0, dtype=self.dtype),
+            "mem": dict(self.mem_models),
+        }
+        return state
+
+    # ------------------------------------------------------------------
+    # drivers (solver.py:930-1135)
+    # ------------------------------------------------------------------
+    def solve_system_passive(self, Tstop, t, solver_params: SolverParams,
+                             membrane_params=None, filename=None,
+                             save_fields=False, save_solver_stats=False):
+        """No splitting / no ODE stepping; used by the MMS verification
+        drivers (solver.py:930-1011)."""
+        self.splitting_scheme = False
+        self._io_setup(filename, save_fields, save_solver_stats, solver_params)
+        state = self._initial_state(float(t))
+        n_steps = int(round(Tstop / self.params.dt))
+        for k in range(n_steps):
+            state = self._timed_pde_step(state, solver_params, k)
+            self._io_step(state, k)
+        self._io_close()
+        self.state = state
+        return state
+
+    def solve_system_active(self, Tstop, t, solver_params: SolverParams,
+                            filename=None, save_fields=False,
+                            save_solver_stats=False):
+        """Full splitting scheme with membrane ODEs (solver.py:1014-1135)."""
+        self.splitting_scheme = True
+        self._io_setup(filename, save_fields, save_solver_stats, solver_params)
+        state = self._initial_state(float(t))
+        n_steps = int(round(Tstop / self.params.dt))
+        for k in range(n_steps):
+            ts = _time.perf_counter()
+            ode_fn = self._jit(("ode_step", k == 0),
+                               partial(self._ode_step, first_step=(k == 0)))
+            state = ode_fn(state)
+            jax.block_until_ready(state["phi_M"])
+            self.stats.ode_solve_timer += _time.perf_counter() - ts
+            state = self._timed_pde_step(state, solver_params, k)
+            self._io_step(state, k)
+        self._io_close()
+        self.state = state
+        return state
+
+    def _jit(self, key, fn):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def _step_fn(self, solver_params: SolverParams):
+        """Fully-jitted PDE step for the iterative path; eager orchestration
+        (with jitted assemblies) when host direct solves are requested."""
+        if not solver_params.direct_emi and not solver_params.direct_knp:
+            key = ("pde_step", self.splitting_scheme, solver_params)
+            return self._jit(key, partial(self._pde_step, solver_params=solver_params))
+        return partial(self._pde_step, solver_params=solver_params)
+
+    def _timed_pde_step(self, state, solver_params, k):
+        ts = _time.perf_counter()
+        state, st = self._step_fn(solver_params)(state)
+        jax.block_until_ready(state["c"])
+        dt_wall = _time.perf_counter() - ts
+        self.stats.record_step(st, dt_wall)
+        if solver_params.verbose:
+            print(f"{bcolors.WARNING} t = {float(state['t']):.6g}  k = {k} {bcolors.ENDC}")
+            print(
+                f"{bcolors.OKGREEN} emi iters: {int(st['emi_iters'])}, "
+                f"knp iters: {np.asarray(st['knp_iters']).tolist()}, "
+                f"step wall: {dt_wall:.4f}s {bcolors.ENDC}"
+            )
+        return state
+
+    # ------------------------------------------------------------------
+    # I/O (HDF5 layout parity with solver.py:1214-1237)
+    # ------------------------------------------------------------------
+    def _io_setup(self, filename, save_fields, save_solver_stats, solver_params):
+        self.filename = filename
+        self.save_fields = save_fields
+        self.save_solver_stats = save_solver_stats
+        if (save_fields or save_solver_stats) and filename is None:
+            raise ValueError("specify filename when saving fields/solver stats")
+        self._h5 = None
+        if save_fields:
+            from .io.checkpoint import H5Writer
+
+            self._h5 = H5Writer(filename + "results.h5", self.mesh)
+        if save_solver_stats:
+            self.stats.open_files(filename + "solver/", self.mesh,
+                                  self.N_ions * self.n_cells * self.nd,
+                                  self.n_cells * self.nd, solver_params)
+
+    def _io_step(self, state, k):
+        if self._h5 is not None and (k % self.sf) == 0:
+            self._h5.append(state)
+
+    def _io_close(self):
+        if self._h5 is not None:
+            self._h5.close()
+        self.stats.close_files()
+
+
+class StandardSolver(Solver):
+    """The `update_ode` used by every shipped application (run_2D.py:38-49,
+    run_3D.py, run_EMIx_simulation.py:39-50): push the ECS trace of K and
+    the ICS trace of Na into the membrane ODEs.  `na_index` handles ion
+    orderings where Na is not the eliminated ion (run_tortuosity.py:44-49)."""
+
+    def __init__(self, *args, k_index=0, na_index=None, **kw):
+        super().__init__(*args, **kw)
+        self._k_index = k_index
+        self._na_index = na_index  # None -> eliminated ion
+
+    def update_ode(self, tag, traces: Traces):
+        na = self._na_index if self._na_index is not None else len(self.ion_list) - 1
+        return {
+            "K_e": traces.plus(self._k_index),
+            "Na_i": traces.minus(na),
+        }

@@ -1,0 +1,107 @@
+"""MMS spatial convergence gate (reference: tests/run_MMS_space.py).
+
+Same setup: unit square with inner box, 3 ions (a, b; c eliminated),
+dt = 1e-10, two time steps, direct solves; physical constants F=R=T=1.
+The reference prints L2 rates without asserting; here rates are asserted
+(~O(h^2) for DG1 per Ellingsrud/Benedusi/Kuchta SISC 2025).
+"""
+import numpy as np
+import pytest
+
+from knpemidg_tpu.config import Ion, PhysicalParams, SolverParams
+from knpemidg_tpu.mesh.generators import mms_square
+from knpemidg_tpu.fem.norms import l2_error, integral
+from knpemidg_tpu.mms.problems import setup_mms_space
+from knpemidg_tpu.solver import Solver
+
+
+D_SUB = {"a": {1: 6.0, 0: 5.0}, "b": {1: 3.0, 0: 4.0}, "c": {1: 1.0, 0: 2.0}}
+C_SUB = {"a": {1: 1.0, 0: 2.0}, "b": {1: 2.0, 0: 4.0}, "c": {1: 3.0, 0: 2.0}}
+Z = {"a": 1.0, "b": -1.0, "c": 1.0}
+
+
+def run_resolution(resolution, dt=1e-10, n_steps=2):
+    mesh = mms_square(resolution)
+    C_phi = 1.0 / dt
+    mms_params = {
+        "F": 1.0, "R": 1.0, "temperature": 1.0, "C_phi": C_phi,
+        "z": [Z["a"], Z["b"], Z["c"]],
+        "D": [D_SUB["a"], D_SUB["b"], D_SUB["c"]],
+        "C": [C_SUB["a"], C_SUB["b"], C_SUB["c"]],
+    }
+    mms = setup_mms_space(mms_params)
+
+    params = PhysicalParams(
+        dt=dt, F=1.0, R=1.0, temperature=1.0, C_M=1.0, C_phi=C_phi,
+        phi_M_init=0.0, phi_M_init_type="constant",
+        rho_sub={0: 0.0, 1: 0.0},
+    )
+    ion_list = [
+        Ion(
+            name=name, z=Z[name], D_sub=D_SUB[name],
+            c_init_sub={s: mms.init_c[k][s] for s in (0, 1)},
+            c_init_sub_type="expression",
+            C_sub=C_SUB[name],
+        )
+        for k, name in enumerate(("a", "b", "c"))
+    ]
+    sp = SolverParams(direct_emi=True, direct_knp=True, resolution=resolution)
+
+    S = Solver(params, ion_list, mms=mms)
+    S.setup_domain(mesh)
+    S.setup_parameters()
+    S.setup_FEM_spaces()
+    state = S.solve_system_passive(n_steps * dt, 0.0, sp)
+
+    c = np.asarray(state["c"])
+    c_elim = np.asarray(state["c_elim"])
+    phi = np.asarray(state["phi"])
+
+    errs = {}
+    for k, (name, field) in enumerate(
+        [("a", c[0]), ("b", c[1]), ("c", c_elim)]
+    ):
+        e2 = sum(
+            l2_error(mesh, field, lambda x, s=s, k=k: mms.exact_c[k][s](x),
+                     subdomain=s) ** 2
+            for s in (0, 1)
+        )
+        errs[name] = np.sqrt(e2)
+
+    # mean-shifted phi error (nullspace; run_MMS_space.py:249-264)
+    mean_e = sum(
+        integral(mesh, lambda x, s=s: mms.exact_phi[s](x), subdomain=s)
+        for s in (0, 1)
+    )
+    mean_h = integral(mesh, phi)
+    shift = mean_e - mean_h
+    e2 = sum(
+        l2_error(mesh, phi, lambda x, s=s: mms.exact_phi[s](x),
+                 subdomain=s, shift=-shift) ** 2
+        for s in (0, 1)
+    )
+    errs["phi"] = np.sqrt(e2)
+    return mesh.hmin(), errs
+
+
+@pytest.mark.slow
+def test_mms_space_convergence():
+    resolutions = (3, 4, 5)
+    hs, errors = [], []
+    for r in resolutions:
+        h, e = run_resolution(r)
+        hs.append(h)
+        errors.append(e)
+        print(f"res {r}: " + "  ".join(f"{k}={v:.4e}" for k, v in e.items()))
+    for key in ("a", "b", "c", "phi"):
+        es = np.array([e[key] for e in errors])
+        rates = np.log(es[1:] / es[:-1]) / np.log(np.array(hs[1:]) / np.array(hs[:-1]))
+        print(key, "rates", rates)
+        assert rates[-1] > 1.7, (key, es, rates)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, ".")
+    test_mms_space_convergence()
