@@ -59,6 +59,6 @@ def test_iterative_matches_direct():
     p1, p2 = np.asarray(st1["phi"]), np.asarray(st2["phi"])
     diff = (p1 - p1.mean()) - (p2 - p2.mean())
     assert np.abs(diff).max() < 1e-4, np.abs(diff).max()
-    # iteration counts were recorded
-    assert S2.stats.emi_niters[-1] > 0
-    assert np.sum(S2.stats.knp_niters[-1]) > 0
+    # iteration counts were recorded (later steps may warm-start to 0 iters)
+    assert S2.stats.emi_niters[0] > 0
+    assert np.sum(S2.stats.knp_niters[0]) > 0
