@@ -196,7 +196,7 @@ class Solver:
                 locator = stim_params.stimulus_locator or (lambda x: True)
                 mask = np.array([bool(locator(x)) for x in mids])
                 for key, value in stim_params.stimulus.items():
-                    cur = np.asarray(get_param(mm, key))
+                    cur = np.array(get_param(mm, key))
                     cur[mask] = value
                     mm = set_param(mm, key, jnp.asarray(cur, dtype=self.dtype))
             self.mem_models[tag] = mm

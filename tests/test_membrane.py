@@ -1,0 +1,104 @@
+"""Membrane ODE engine validation.
+
+The reference steps each membrane point with LSODA at rtol 1e-8
+(membrane.py:108-113); our vmapped fixed-substep RK4 must track the same
+trajectories.  Gate: HH action-potential trajectory within tight tolerance
+of scipy LSODA over a full stimulus period."""
+import numpy as np
+import pytest
+
+from knpemidg_tpu.membrane.engine import make_membrane, ode_step, set_param, get_param
+from knpemidg_tpu.models.hh import HodgkinHuxleySI
+from knpemidg_tpu.models.glial import GlialKir
+
+
+def _scipy_reference(model, params, y0, t_eval):
+    from scipy.integrate import solve_ivp
+    import jax.numpy as jnp
+
+    def f(t, y):
+        return np.asarray(model.rhs(t, jnp.asarray(y), jnp.asarray(params)))
+
+    sol = solve_ivp(
+        f, (t_eval[0], t_eval[-1]), y0, method="LSODA",
+        t_eval=t_eval, rtol=1e-8, atol=1e-10,
+    )
+    return sol.y.T
+
+
+def test_hh_matches_lsoda():
+    model = HodgkinHuxleySI()
+    mm = make_membrane(model, np.zeros((4, 2)))  # 4 identical points
+    # physical operating point (run_2D.py initial values)
+    for name, val in [
+        ("Cm", 0.02), ("E_Na", 0.0545), ("E_K", -0.0936),
+        ("K_e", 3.32), ("Na_i", 12.8), ("stim_amplitude", 10.0),
+    ]:
+        mm = set_param(mm, name, np.full(4, val))
+
+    params = np.asarray(mm.params[0])
+    y0 = np.asarray(mm.states[0])
+    dt = 1.0e-4          # PDE step (s)
+    n_pde_steps = 20     # 2 ms -- spans the upstroke of the first AP
+    t_eval = np.arange(n_pde_steps + 1) * dt
+    ref = _scipy_reference(model, params, y0, t_eval)
+
+    traj = [np.asarray(mm.states[0])]
+    t = 0.0
+    for _ in range(n_pde_steps):
+        mm = ode_step(mm, t, dt, n_sub=25)
+        traj.append(np.asarray(mm.states[0]))
+        t += dt
+    traj = np.array(traj)
+
+    # all 4 vmapped points identical
+    s = np.asarray(mm.states)
+    assert np.allclose(s, s[0], atol=0.0)
+    # V trajectory within 0.1 mV of LSODA
+    assert np.abs(traj[:, 3] - ref[:, 3]).max() < 1e-4, \
+        np.abs(traj[:, 3] - ref[:, 3]).max()
+    # gating variables
+    assert np.abs(traj[:, :3] - ref[:, :3]).max() < 1e-3
+
+
+def test_currents_written_back():
+    model = HodgkinHuxleySI()
+    mm = make_membrane(model, np.zeros((2, 2)))
+    for name, val in [
+        ("Cm", 0.02), ("E_Na", 0.0545), ("E_K", -0.0936),
+        ("K_e", 3.32), ("Na_i", 12.8),
+    ]:
+        mm = set_param(mm, name, np.full(2, val))
+    mm2 = ode_step(mm, 0.0, 1e-4, n_sub=5)
+    i_na = np.asarray(get_param(mm2, "I_ch_Na"))
+    i_k = np.asarray(get_param(mm2, "I_ch_K"))
+    assert np.all(i_na != 0) and np.all(i_k != 0)
+    # consistency with a direct functional evaluation at the final state
+    import jax.numpy as jnp
+
+    cur = model.currents(1e-4, mm2.states[0], mm2.params[0])
+    assert np.isclose(float(cur["I_ch_Na"]), i_na[0])
+
+
+def test_glial_kir_steady():
+    """At its calibrated operating point the glial model should stay near
+    rest (the emix calibration premise, run_check_calibration.py:19-22)."""
+    model = GlialKir()
+    mm = make_membrane(model, np.zeros((1, 3)))
+    R, T, F = model.R, model.TEMPERATURE, model.F
+    K_e, K_i = 3.32597273958481, 102.74050220804774
+    Na_e, Na_i = 100.71925900028181, 12.39731187972181
+    E_K = R * T / F * np.log(K_e / K_i) * 1.0
+    E_Na = R * T / F * np.log(Na_e / Na_i)
+    for name, val in [
+        ("Cm", 2.0), ("E_K", E_K * 1e3 / 1e3), ("E_Na", E_Na),
+        ("K_e", K_e), ("Na_i", Na_i),
+    ]:
+        mm = set_param(mm, name, np.full(1, val))
+    V0 = float(mm.states[0, 0])
+    t = 0.0
+    for _ in range(50):
+        mm = ode_step(mm, t, 0.1, n_sub=25)   # ms units
+        t += 0.1
+    V1 = float(mm.states[0, 0])
+    assert abs(V1 - V0) < 5.0, (V0, V1)  # mV drift over 5 ms
