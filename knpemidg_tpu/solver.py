@@ -487,6 +487,22 @@ class Solver:
         return state
 
     # ------------------------------------------------------------------
+    # fused full step (ODE + EMI + KNP in one jittable function) --------
+    # ------------------------------------------------------------------
+    def fused_step(self, solver_params: SolverParams, first_step: bool = False):
+        """Pure function state -> (state, stats) combining the whole
+        splitting step; the benchmark / multi-chip entry point.  Iterative
+        solvers only (host direct solves cannot be fused)."""
+        assert not solver_params.direct_emi and not solver_params.direct_knp
+
+        def step(state):
+            if self.mem_models:
+                state = self._ode_step(state, first_step=first_step)
+            return self._pde_step(state, solver_params)
+
+        return step
+
+    # ------------------------------------------------------------------
     # I/O (HDF5 layout parity with solver.py:1214-1237)
     # ------------------------------------------------------------------
     def _io_setup(self, filename, save_fields, save_solver_stats, solver_params):
