@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Benchmark: time per timestep on the EMIx 3D brain-tissue workload.
+
+North-star metric (BASELINE.md): per-timestep cost (assembly + Krylov
+solves, here plus the vmapped membrane ODE step, all fused in one jitted
+program) on the 121,617-tet emimesh volume, dt = 0.1 ms, iterative solvers
+at the reference's production tolerances (rtol_emi 1e-5; KNP tolerance
+capped at f32-reachable 1e-5 -- the reference's 1e-7 is an f64 CPU
+setting).  The reference publishes no numbers (BASELINE.json published: {});
+``vs_baseline`` therefore reports the measured speedup of this chip over
+the same program on the host CPU (one full XLA-CPU step), the stand-in for
+the "CPU node" in the >=5x north-star target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
+
+N_STEPS = 5
+CPU_STEPS = 1
+
+
+def build(dtype=None, mesh=None):
+    from run_EMIx_simulation import build_solver
+    from knpemidg_tpu.config import SolverParams
+
+    S = build_solver(dtype=dtype, mesh=mesh)
+    sp = SolverParams(
+        direct_emi=False, direct_knp=False,
+        rtol_emi=1e-5, atol_emi=1e-40,
+        rtol_knp=1e-5, atol_knp=2e-40,
+        max_it_emi=1000, max_it_knp=1000, gmres_restart=20,
+    )
+    return S, sp
+
+
+def time_steps(S, sp, n_steps, label):
+    import jax
+
+    step = jax.jit(S.fused_step(sp))
+    state = S._initial_state(0.0)
+    # warmup: compile + 1 step
+    state, stats = step(state)
+    jax.block_until_ready(state["c"])
+    t0 = time.perf_counter()
+    iters = []
+    for _ in range(n_steps):
+        state, stats = step(state)
+        jax.block_until_ready(state["c"])
+    dt_wall = (time.perf_counter() - t0) / n_steps
+    import numpy as np
+
+    print(
+        f"# {label}: {dt_wall*1e3:.2f} ms/step  "
+        f"emi_iters={int(stats['emi_iters'])} "
+        f"knp_iters={np.asarray(stats['knp_iters']).tolist()}",
+        file=sys.stderr,
+    )
+    return dt_wall
+
+
+def main():
+    import jax
+
+    # mesh built once on host, reused for both backends
+    from knpemidg_tpu.mesh.io import load_emix_mesh
+    from run_EMIx_simulation import DEFAULT_MESH
+
+    mesh = load_emix_mesh(DEFAULT_MESH)
+
+    S, sp = build(mesh=mesh)
+    t_dev = time_steps(S, sp, N_STEPS, f"device[{jax.default_backend()}]")
+
+    t_cpu = None
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            S2, sp2 = build(mesh=mesh)
+            t_cpu = time_steps(S2, sp2, CPU_STEPS, "cpu")
+    except Exception as e:                            # pragma: no cover
+        print(f"# cpu baseline failed: {e}", file=sys.stderr)
+
+    vs = (t_cpu / t_dev) if t_cpu else 1.0
+    print(json.dumps({
+        "metric": "emix_time_per_timestep",
+        "value": round(t_dev * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

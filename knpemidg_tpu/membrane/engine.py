@@ -56,20 +56,27 @@ class MembraneState:
 
 
 def make_membrane(model, midpoints: np.ndarray, dtype=jnp.float64) -> MembraneState:
+    """Setup-time states/params stay host-side numpy (eager device ops are
+    expensive on remote-compile TPU backends); they become device arrays on
+    first entry into the jitted step."""
     n = len(midpoints)
     s0 = np.asarray(model.init_states(), dtype=np.float64)
     p0 = np.asarray(model.init_params(), dtype=np.float64)
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
     return MembraneState(
-        states=jnp.asarray(np.tile(s0, (n, 1)), dtype=dtype),
-        params=jnp.asarray(np.tile(p0, (n, 1)), dtype=dtype),
+        states=np.tile(s0, (n, 1)).astype(np_dtype),
+        params=np.tile(p0, (n, 1)).astype(np_dtype),
         model=model,
     )
 
 
 def set_param(mm: MembraneState, name: str, values) -> MembraneState:
-    return dataclasses.replace(
-        mm, params=mm.params.at[:, mm.model.PARAMS[name]].set(values)
-    )
+    idx = mm.model.PARAMS[name]
+    if isinstance(mm.params, np.ndarray):
+        params = mm.params.copy()
+        params[:, idx] = np.asarray(values)
+        return dataclasses.replace(mm, params=params)
+    return dataclasses.replace(mm, params=mm.params.at[:, idx].set(values))
 
 
 def get_param(mm: MembraneState, name: str):
@@ -104,3 +111,25 @@ def ode_step(mm: MembraneState, t, dt: float, n_sub: int) -> MembraneState:
     for name, vals in cur.items():
         params = params.at[:, model.PARAMS[name]].set(vals)
     return dataclasses.replace(mm, params=params)
+
+
+def ode_run(mm: MembraneState, t0: float, dt: float, n_steps: int,
+            n_sub: int = 1) -> MembraneState:
+    """Integrate n_steps PDE-steps in one jitted scan (used by the
+    calibration pipeline, run_calibration.py:50-51, which steps 100,000
+    times to steady state)."""
+    import jax
+
+    def body(carry, k):
+        return ode_step(carry, t0 + k * dt, dt, n_sub), None
+
+    mm2, _ = jax.lax.scan(
+        body,
+        dataclasses.replace(
+            mm,
+            states=jnp.asarray(mm.states),
+            params=jnp.asarray(mm.params),
+        ),
+        jnp.arange(n_steps),
+    )
+    return mm2

@@ -191,14 +191,14 @@ class Solver:
             s0, s1 = self.tables.slices[tag]
             mids = self.tables.midpoints[s0:s1]
             mm = make_membrane(model, mids, dtype=self.dtype)
-            mm = set_param(mm, "Cm", jnp.full(s1 - s0, self.params.C_M, self.dtype))
+            mm = set_param(mm, "Cm", np.full(s1 - s0, self.params.C_M))
             if stim_params is not None and stim_params.stimulus:
                 locator = stim_params.stimulus_locator or (lambda x: True)
                 mask = np.array([bool(locator(x)) for x in mids])
                 for key, value in stim_params.stimulus.items():
                     cur = np.array(get_param(mm, key))
                     cur[mask] = value
-                    mm = set_param(mm, key, jnp.asarray(cur, dtype=self.dtype))
+                    mm = set_param(mm, key, cur)
             self.mem_models[tag] = mm
         return self
 
@@ -395,25 +395,30 @@ class Solver:
     # ------------------------------------------------------------------
     def _initial_state(self, t0: float):
         p = self.params
+        # host-side numpy construction: eager device ops are costly on
+        # remote-compile TPU backends; jit converts leaves on entry
+        np_dtype = np.dtype(jnp.dtype(self.dtype).name)
         if p.phi_M_init_type == "constant":
-            phi_M = jnp.full(self.n_mem, float(p.phi_M_init), dtype=self.dtype)
+            phi_M = np.full(self.n_mem, float(p.phi_M_init), dtype=np_dtype)
         elif p.phi_M_init_type == "expression":
-            phi_M = jnp.asarray(
-                np.asarray([p.phi_M_init(x) for x in self.tables.midpoints])
+            phi_M = np.asarray(
+                [p.phi_M_init(x) for x in self.tables.midpoints]
                 if callable(p.phi_M_init) else np.zeros(self.n_mem),
-                dtype=self.dtype,
+                dtype=np_dtype,
             )
         elif p.phi_M_init_type == "function":
-            phi_M = jnp.asarray(p.phi_M_init, dtype=self.dtype)
+            phi_M = np.asarray(p.phi_M_init, dtype=np_dtype)
         else:
             raise ValueError(f"unknown phi_M_init_type {p.phi_M_init_type!r}")
         state = {
             "c": self.c_init,
             "c_elim": self.c_elim_init,
             "phi": self.phi_init,
-            "phi_M": phi_M,
-            "I_ch": jnp.zeros((len(self.ion_list), self.n_mem), dtype=self.dtype),
-            "t": jnp.asarray(t0, dtype=self.dtype),
+            "phi_M": jnp.asarray(phi_M),
+            "I_ch": jnp.asarray(
+                np.zeros((len(self.ion_list), self.n_mem), dtype=np_dtype)
+            ),
+            "t": jnp.asarray(np.asarray(t0, dtype=np_dtype)),
             "mem": dict(self.mem_models),
         }
         return state
