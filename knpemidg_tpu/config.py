@@ -95,6 +95,9 @@ class SolverParams:
     max_it_knp: int = 1000
     gmres_restart: int = 20
     verbose: bool = False
+    # preconditioner: 'two_level' (BoomerAMG stand-in) or 'jacobi'
+    precond: str = "two_level"
+    agg_size: int = 64                      # cells per coarse aggregate
 
 
 @dataclasses.dataclass

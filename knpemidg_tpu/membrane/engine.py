@@ -50,9 +50,12 @@ class MembraneState:
         return self.states[:, self.model.STATES[name]]
 
     def replace_state(self, name, values):
-        return dataclasses.replace(
-            self, states=self.states.at[:, self.model.STATES[name]].set(values)
-        )
+        idx = self.model.STATES[name]
+        if isinstance(self.states, np.ndarray):
+            states = self.states.copy()
+            states[:, idx] = np.asarray(values)
+            return dataclasses.replace(self, states=states)
+        return dataclasses.replace(self, states=self.states.at[:, idx].set(values))
 
 
 def make_membrane(model, midpoints: np.ndarray, dtype=jnp.float64) -> MembraneState:
@@ -87,6 +90,10 @@ def ode_step(mm: MembraneState, t, dt: float, n_sub: int) -> MembraneState:
     """Advance all points by dt with n_sub RK4 substeps, then refresh the
     channel-current parameters from the final state."""
     model = mm.model
+    if isinstance(mm.states, np.ndarray):
+        mm = dataclasses.replace(
+            mm, states=jnp.asarray(mm.states), params=jnp.asarray(mm.params)
+        )
     h = dt / n_sub
 
     def rk4_point(y, p):

@@ -36,6 +36,7 @@ from .ops import assembly
 from .ops.spmv import bell_matvec, block_jacobi_apply, block_jacobi_inverse
 from .solvers.krylov import gmres, pcg
 from .solvers import direct as direct_solvers
+from .solvers.twolevel import aggregate_ids, make_two_level
 from .membrane.engine import MembraneState, make_membrane, ode_step, set_param, get_param
 from .utils.stats import SolverStats, bcolors
 
@@ -291,11 +292,10 @@ class Solver:
             )
             stats["emi_iters"] = jnp.int32(0)
         else:
-            Pinv = block_jacobi_inverse(Pd)
             res = pcg(
                 lambda v: bell_matvec(blocks, self.g["nbr"], v),
                 rhs, phi,
-                lambda r: block_jacobi_apply(Pinv, r),
+                self._make_precond(blocks, Pd, sp_, sym=True),
                 rtol=sp_.rtol_emi, atol=sp_.atol_emi, max_it=sp_.max_it_emi,
                 project_nullspace=True,
             )
@@ -319,11 +319,10 @@ class Solver:
                 )
                 knp_iters.append(jnp.int32(0))
             else:
-                Pinv = block_jacobi_inverse(blocks[:, 0])
                 res = gmres(
                     lambda v: bell_matvec(blocks, self.g["nbr"], v),
                     rhs, c[k],
-                    lambda r: block_jacobi_apply(Pinv, r),
+                    self._make_precond(blocks, blocks[:, 0], sp_, sym=False),
                     rtol=sp_.rtol_knp, atol=sp_.atol_knp,
                     max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
                 )
@@ -467,6 +466,26 @@ class Solver:
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
+
+    def _make_precond(self, blocks, P_diag, sp_: SolverParams, sym: bool):
+        """BoomerAMG stand-in: two-level aggregation preconditioner
+        (solvers/twolevel.py), or plain block-Jacobi."""
+        if sp_.precond.startswith("two_level"):
+            if not hasattr(self, "_agg"):
+                agg = aggregate_ids(self.n_cells, sp_.agg_size,
+                                    cell_tags=self.mesh.cell_tags)
+                self._agg = jnp.asarray(agg, dtype=jnp.int32)
+                self._n_agg = int(agg[-1]) + 1
+            mv = (
+                (lambda v: bell_matvec(blocks, self.g["nbr"], v))
+                if sp_.precond == "two_level_mult" else None
+            )
+            return make_two_level(
+                blocks, P_diag, self.g["nbr"], self._agg, self._n_agg,
+                sym=sym, matvec=mv,
+            )
+        Pinv = block_jacobi_inverse(P_diag)
+        return lambda r: block_jacobi_apply(Pinv, r)
 
     def _step_fn(self, solver_params: SolverParams):
         """Fully-jitted PDE step for the iterative path; eager orchestration

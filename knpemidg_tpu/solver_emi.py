@@ -42,11 +42,10 @@ class SolverEMI(Solver):
             )
             stats["emi_iters"] = jnp.int32(0)
         else:
-            Pinv = block_jacobi_inverse(Pd)
             res = pcg(
                 lambda v: bell_matvec(blocks, self.g["nbr"], v),
                 rhs, phi,
-                lambda r: block_jacobi_apply(Pinv, r),
+                self._make_precond(blocks, Pd, sp_, sym=True),
                 rtol=sp_.rtol_emi, atol=sp_.atol_emi, max_it=sp_.max_it_emi,
                 project_nullspace=True,
             )

@@ -1,0 +1,111 @@
+"""Two-level (block-Jacobi + aggregation coarse grid) preconditioner.
+
+The hypre BoomerAMG replacement (SURVEY.md N4).  Cells are grouped into
+contiguous aggregates of the Morton-ordered numbering (mesh/core.py), the
+coarse space is piecewise constant per aggregate, and the coarse operator
+``A_c = R^T A R`` is a *small dense* matrix re-Galerkinized from the
+block-ELL operator at every assembly -- a single scatter-add -- then
+factorized with dense Cholesky on the MXU.  The preconditioner is the
+additive combination
+
+    M^-1 r = blockJacobi(r) + R A_c^-1 R^T r
+
+which is symmetric (CG-safe) and gives the h-robustness block-Jacobi alone
+lacks for the SIP-DG elliptic systems.  For singular EMI operators pass the
+regularized diagonal (the B-operator blocks, solver.py:376-401) so A_c is
+SPD.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.spmv import block_jacobi_apply, block_jacobi_inverse
+
+
+def aggregate_ids(n_cells: int, agg_size: int,
+                  cell_tags: np.ndarray | None = None) -> np.ndarray:
+    """Contiguous Morton-chunk aggregates that never cross subdomain
+    boundaries.
+
+    The EMI operator's troublesome near-kernel is one near-constant mode
+    per enclosed ICS compartment (compartments talk to the ECS only through
+    the weak C_phi membrane coupling), so the coarse space must be able to
+    represent per-compartment constants: an aggregate containing both ECS
+    and ICS cells would average across the membrane and miss those modes
+    (this is what BoomerAMG's strength-of-connection dropping achieves).
+    """
+    if cell_tags is None:
+        return np.arange(n_cells) // agg_size
+    tags = np.asarray(cell_tags)
+    change = np.concatenate([[True], tags[1:] != tags[:-1]])
+    run_id = np.cumsum(change) - 1
+    run_start = np.concatenate([[0], np.flatnonzero(change[1:]) + 1])
+    within = np.arange(n_cells) - run_start[run_id]
+    new_agg = change | (within % agg_size == 0)
+    return np.cumsum(new_agg) - 1
+
+
+def coarse_matrix(blocks, nbr, agg, n_agg, extra_diag=None):
+    """A_c[a,b] = sum over cell rows in a, neighbor cols in b of block sums.
+
+    extra_diag (nc, nd, nd): added to the row-diagonal (e.g. the mass
+    regularization of the B operator) before coarsening.
+    """
+    v = blocks.sum(axis=(2, 3))                 # (nc, K)
+    rows = jnp.repeat(agg, v.shape[1]).reshape(v.shape)
+    cols = agg[nbr]
+    Ac = jnp.zeros((n_agg, n_agg), dtype=blocks.dtype)
+    Ac = Ac.at[rows.ravel(), cols.ravel()].add(v.ravel())
+    if extra_diag is not None:
+        Ac = Ac.at[agg, agg].add(extra_diag.sum(axis=(1, 2)))
+    return Ac
+
+
+def make_two_level(blocks, P_diag, nbr, agg, n_agg, sym: bool = True,
+                   matvec: Callable | None = None, omega: float = 2.0 / 3.0) -> Callable:
+    """Build the preconditioner apply function for one assembled operator.
+
+    P_diag: (nc, nd, nd) regularized diagonal blocks (smoother + coarse
+    regularization); blocks: the operator itself.  `sym=False` uses an LU
+    coarse factorization (the upwinded KNP operator).  With `matvec` given,
+    applies a symmetric multiplicative V-cycle (damped-BJ pre/post smoothing
+    around the coarse correction); otherwise the additive combination.
+    """
+    Pinv = block_jacobi_inverse(P_diag)
+    extra = P_diag - blocks[:, 0]
+    Ac = coarse_matrix(blocks, nbr, agg, n_agg, extra_diag=extra)
+    # dense factor (n_agg is ~ n_cells/agg_size, e.g. ~1-2k): MXU-friendly
+    if sym:
+        fac = jax.scipy.linalg.cho_factor(Ac)
+        solve = lambda rc: jax.scipy.linalg.cho_solve(fac, rc)
+    else:
+        fac = jax.scipy.linalg.lu_factor(Ac)
+        solve = lambda rc: jax.scipy.linalg.lu_solve(fac, rc)
+    nd = blocks.shape[2]
+    nc = blocks.shape[0]
+
+    def coarse(r):
+        # restrict: sum all dofs per aggregate (sorted segment ids after
+        # the Morton renumbering); prolong: broadcast
+        rc = jax.ops.segment_sum(r.sum(axis=1), agg, num_segments=n_agg,
+                                 indices_are_sorted=True)
+        zc = solve(rc)
+        return jnp.broadcast_to(zc[agg][:, None], (nc, nd))
+
+    if matvec is None:
+        def apply(r):                      # additive: BJ + coarse
+            return block_jacobi_apply(Pinv, r) + coarse(r)
+        return apply
+
+    def apply(r):                          # symmetric V-cycle: BJ, coarse, BJ
+        z = omega * block_jacobi_apply(Pinv, r)
+        r1 = r - matvec(z)
+        z = z + coarse(r1)
+        r2 = r - matvec(z)
+        return z + omega * block_jacobi_apply(Pinv, r2)
+
+    return apply
