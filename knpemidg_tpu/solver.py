@@ -36,7 +36,7 @@ from .ops import assembly
 from .ops.spmv import bell_matvec, block_jacobi_apply, block_jacobi_inverse
 from .solvers.krylov import gmres, pcg
 from .solvers import direct as direct_solvers
-from .solvers.twolevel import aggregate_ids, make_two_level
+from .solvers.twolevel import aggregate_ids_graph, make_two_level
 from .membrane.engine import MembraneState, make_membrane, ode_step, set_param, get_param
 from .utils.stats import SolverStats, bcolors
 
@@ -472,10 +472,9 @@ class Solver:
         (solvers/twolevel.py), or plain block-Jacobi."""
         if sp_.precond.startswith("two_level"):
             if not hasattr(self, "_agg"):
-                agg = aggregate_ids(self.n_cells, sp_.agg_size,
-                                    cell_tags=self.mesh.cell_tags)
+                agg = aggregate_ids_graph(self.mesh, sp_.agg_size)
                 self._agg = jnp.asarray(agg, dtype=jnp.int32)
-                self._n_agg = int(agg[-1]) + 1
+                self._n_agg = int(agg.max()) + 1
             mv = (
                 (lambda v: bell_matvec(blocks, self.g["nbr"], v))
                 if sp_.precond == "two_level_mult" else None

@@ -49,6 +49,61 @@ def aggregate_ids(n_cells: int, agg_size: int,
     return np.cumsum(new_agg) - 1
 
 
+def aggregate_ids_graph(mesh, agg_size: int) -> np.ndarray:
+    """BFS aggregation on the same-tag cell adjacency graph.
+
+    Morton runs fragment badly on intertwined geometries (brain tissue has
+    tags alternating along the space-filling curve); growing aggregates by
+    breadth-first search over facet-neighbors with equal subdomain tag keeps
+    the aggregate count near n_cells/agg_size while never crossing a
+    membrane.  Isolated leftover cells join an already-assigned same-tag
+    neighbor to avoid singleton aggregates.
+    """
+    nc = mesh.num_cells
+    tags = mesh.cell_tags
+    cp, cm = mesh.if_cells[:, 0], mesh.if_cells[:, 1]
+    same = tags[cp] == tags[cm]
+    e0 = np.concatenate([cp[same], cm[same]])
+    e1 = np.concatenate([cm[same], cp[same]])
+    order = np.argsort(e0, kind="stable")
+    e0, e1 = e0[order], e1[order]
+    starts = np.searchsorted(e0, np.arange(nc + 1))
+
+    agg = np.full(nc, -1, dtype=np.int64)
+    next_id = 0
+    for seed in range(nc):
+        if agg[seed] >= 0:
+            continue
+        agg[seed] = next_id
+        count = 1
+        frontier = [seed]
+        while frontier and count < agg_size:
+            nxt = []
+            for c in frontier:
+                for nb in e1[starts[c]:starts[c + 1]]:
+                    if agg[nb] < 0:
+                        agg[nb] = next_id
+                        count += 1
+                        nxt.append(nb)
+                        if count >= agg_size:
+                            break
+                if count >= agg_size:
+                    break
+            frontier = nxt
+        if count == 1:
+            # orphan: merge into a same-tag neighbor's aggregate if any
+            for nb in e1[starts[seed]:starts[seed + 1]]:
+                if agg[nb] >= 0 and agg[nb] != next_id:
+                    agg[seed] = agg[nb]
+                    break
+            if agg[seed] != next_id:
+                continue
+        next_id += 1
+    # compact ids
+    uniq, agg = np.unique(agg, return_inverse=True)
+    return agg
+
+
 def coarse_matrix(blocks, nbr, agg, n_agg, extra_diag=None):
     """A_c[a,b] = sum over cell rows in a, neighbor cols in b of block sums.
 
@@ -78,21 +133,20 @@ def make_two_level(blocks, P_diag, nbr, agg, n_agg, sym: bool = True,
     Pinv = block_jacobi_inverse(P_diag)
     extra = P_diag - blocks[:, 0]
     Ac = coarse_matrix(blocks, nbr, agg, n_agg, extra_diag=extra)
-    # dense factor (n_agg is ~ n_cells/agg_size, e.g. ~1-2k): MXU-friendly
-    if sym:
-        fac = jax.scipy.linalg.cho_factor(Ac)
-        solve = lambda rc: jax.scipy.linalg.cho_solve(fac, rc)
-    else:
-        fac = jax.scipy.linalg.lu_factor(Ac)
-        solve = lambda rc: jax.scipy.linalg.lu_solve(fac, rc)
+    if not sym:
+        # upwind drift makes Ac slightly nonsymmetric; symmetrize so the
+        # Cholesky coarse solve (the TPU-friendly factorization) applies
+        Ac = 0.5 * (Ac + Ac.T)
+    # dense Cholesky (n_agg ~ n_cells/agg_size, e.g. ~2k): MXU-friendly
+    fac = jax.scipy.linalg.cho_factor(Ac)
+    solve = lambda rc: jax.scipy.linalg.cho_solve(fac, rc)
     nd = blocks.shape[2]
     nc = blocks.shape[0]
 
     def coarse(r):
         # restrict: sum all dofs per aggregate (sorted segment ids after
         # the Morton renumbering); prolong: broadcast
-        rc = jax.ops.segment_sum(r.sum(axis=1), agg, num_segments=n_agg,
-                                 indices_are_sorted=True)
+        rc = jax.ops.segment_sum(r.sum(axis=1), agg, num_segments=n_agg)
         zc = solve(rc)
         return jnp.broadcast_to(zc[agg][:, None], (nc, nd))
 

