@@ -433,6 +433,8 @@ class Solver:
         self.splitting_scheme = False
         self._io_setup(filename, save_fields, save_solver_stats, solver_params)
         state = self._initial_state(float(t))
+        if self._h5 is not None:       # initial frame (solver.py:1223-1225)
+            self._h5.append(state)
         n_steps = int(round(Tstop / self.params.dt))
         for k in range(n_steps):
             state = self._timed_pde_step(state, solver_params, k)
@@ -448,6 +450,8 @@ class Solver:
         self.splitting_scheme = True
         self._io_setup(filename, save_fields, save_solver_stats, solver_params)
         state = self._initial_state(float(t))
+        if self._h5 is not None:       # initial frame (solver.py:1223-1225)
+            self._h5.append(state)
         n_steps = int(round(Tstop / self.params.dt))
         for k in range(n_steps):
             ts = _time.perf_counter()

@@ -44,7 +44,16 @@ def pcg(
     max_it: int,
     project_nullspace: bool = False,
 ) -> KrylovResult:
-    """Preconditioned conjugate gradients."""
+    """Preconditioned conjugate gradients.
+
+    Convergence is tested in the *preconditioned* residual norm
+    ``sqrt(r . M^-1 r)`` relative to ``sqrt(b . M^-1 b)`` -- the PETSc KSPCG
+    default the reference relies on (solver.py:425-436).  This matters for
+    the EMI system: the near-null per-compartment modes have tiny
+    eigenvalues, so the plain residual norm is blind to exactly the
+    membrane-jump error that drives the physics; the M^-1-weighted norm
+    (with the two-level M resolving those modes) controls it.
+    """
     proj = _project_constant if project_nullspace else (lambda v: v)
 
     b = proj(b)
@@ -53,12 +62,13 @@ def pcg(
     z = precond(r)
     p = z
     rz = _dot(r, z)
-    bnorm = jnp.sqrt(_dot(b, b))
+    bz = precond(b)
+    bnorm = jnp.sqrt(jnp.abs(_dot(b, bz)))
     tol = jnp.maximum(rtol * bnorm, atol)
 
     def cond(state):
         x, r, z, p, rz, k = state
-        return (jnp.sqrt(_dot(r, r)) > tol) & (k < max_it)
+        return (jnp.sqrt(jnp.abs(rz)) > tol) & (k < max_it)
 
     def body(state):
         x, r, z, p, rz, k = state
@@ -73,7 +83,7 @@ def pcg(
         return (x, r, z, p, rz_new, k + 1)
 
     x, r, z, p, rz, k = jax.lax.while_loop(cond, body, (x0, r, z, p, rz, jnp.int32(0)))
-    rn = jnp.sqrt(_dot(r, r))
+    rn = jnp.sqrt(jnp.abs(rz))
     return KrylovResult(x=x, iters=k, resnorm=rn, converged=rn <= tol)
 
 

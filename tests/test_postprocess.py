@@ -1,0 +1,52 @@
+"""Post-processing: h5 round-trip, membrane series, AP velocity, VTK."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+from knpemidg_tpu.config import SolverParams
+from knpemidg_tpu.postprocess import Results, write_vtu
+
+
+@pytest.mark.slow
+def test_h5_roundtrip_and_series(tmp_path):
+    from run_2D import build_solver
+
+    S = build_solver(resolution=0)
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-5, atol_emi=1e-40,
+                      rtol_knp=1e-7, atol_knp=1e-40)
+    fname = str(tmp_path) + "/"
+    S.solve_system_active(5 * S.params.dt, 0.0, sp, filename=fname,
+                          save_fields=True, save_solver_stats=True)
+
+    res = Results(fname + "results.h5")
+    assert res.n_frames == 6           # initial + 5 steps
+    assert res.mesh.num_cells == S.mesh.num_cells
+    s = res.membrane_series((10e-6, 1e-6))
+    # frame 0 stores the pre-solve phi=0; from frame 1 on, the stimulated
+    # membrane (x < 20um) is physiological and depolarizes over the run
+    assert s["phi_M"][-1] > s["phi_M"][1]
+    assert -0.09 < s["phi_M"][1] < 0.0
+    assert s["c_e"].shape == (6, 2)
+    # Nernst from traces is physiological
+    E_K = 8.314 * 300 / 96485 * np.log(s["c_e"][:, 0] / s["c_i"][:, 0])
+    assert -0.12 < E_K[0] < -0.06
+
+    # AP velocity machinery returns a finite number once both sites cross;
+    # with this short run it may be nan -- only exercise the code path
+    v = res.ap_velocity((5e-6, 1e-6), (40e-6, 1e-6), threshold=-0.05)
+    assert np.isnan(v) or v > 0
+
+    fr = res.frame(res.n_frames - 1)
+    write_vtu(str(tmp_path / "f.vtk"), res.mesh, {"phi": fr["phi"]})
+    assert (tmp_path / "f.vtk").stat().st_size > 1000
+
+    # solver stats files written (reference layout, solver.py:1146-1198)
+    stats_files = os.listdir(fname + "solver/")
+    assert any(f.startswith("emi_niter") for f in stats_files)
+    assert any(f.startswith("knp_solve") for f in stats_files)
+    res.close()
