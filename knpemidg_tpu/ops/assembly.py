@@ -278,6 +278,30 @@ def assemble_emi(
 # KNP system (one ion; callers vmap/stack over ions)
 # ---------------------------------------------------------------------------
 
+def assemble_knp_static(g, masks, ion, phys):
+    """Time-independent part of the KNP operator for one ion: mass/dt +
+    stiffness + SIP + penalty (D is a static P0 field).  Computed once at
+    setup; per-step assembly only adds the phi-dependent drift/upwind."""
+    z, D = ion["z"], ion["D"]
+    dt, tau = phys["dt"], phys["tau_knp"]
+    GG = jnp.einsum("cid,cjd->cij", g["G"], g["G"])
+    M0 = jnp.einsum("q,qi,qj->ij", g["w_c"], g["Phi_c"], g["Phi_c"])
+    A_cell = (
+        (g["vol"] / dt)[:, None, None] * M0
+        + (g["vol"] * D)[:, None, None] * GG
+    )
+    sip = masks["f_sip"]
+    Dp = D[g["f_cp"]][:, None] * jnp.ones_like(g["f_Rp"][..., 0])
+    Dm = D[g["f_cm"]][:, None] * jnp.ones_like(g["f_Rp"][..., 0])
+    gnp = jnp.einsum("fd,fid->fi", g["f_n"], g["G"][g["f_cp"]])
+    gnm = jnp.einsum("fd,fid->fi", g["f_n"], g["G"][g["f_cm"]])
+    # penalty uses jump(D u) (solver.py:590): coefficient D per side
+    Mpp, Mpm, Mmp, Mmm = _sip_blocks(
+        g, Dp, Dm, gnp, gnm, tau / g["f_havg"], sip, pen_p=Dp, pen_m=Dm
+    )
+    return gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
+
+
 def assemble_knp(
     g: Dict[str, Any],
     masks: Dict[str, Any],
@@ -293,6 +317,7 @@ def assemble_knp(
     mms=None,
     mms_ion: Optional[int] = None,
     t=None,
+    static_blocks: Optional[jnp.ndarray] = None,
 ):
     """Build the KNP block-ELL operator + rhs for one solved ion.
 
@@ -303,30 +328,20 @@ def assemble_knp(
     z, D = ion["z"], ion["D"]
     F, psi, C_M, dt, tau = phys["F"], phys["psi"], phys["C_M"], phys["dt"], phys["tau_knp"]
 
-    GG = jnp.einsum("cid,cjd->cij", g["G"], g["G"])
     M0 = jnp.einsum("q,qi,qj->ij", g["w_c"], g["Phi_c"], g["Phi_c"])
     phibar = jnp.einsum("q,qj->j", g["w_c"], g["Phi_c"])       # int of basis / vol
 
-    # --- cell terms -----------------------------------------------------------
-    # (1/dt) u v + D grad u . grad v + z psi D u grad(phi).grad(v)
+    if static_blocks is None:
+        static_blocks = assemble_knp_static(g, masks, ion, phys)
+
+    # --- phi-dependent cell drift: z psi D u grad(phi).grad(v) ---------------
+    sip = masks["f_sip"]
+    mem = masks["f_mem"]
     gphi = cell_grad(g, phi)                                    # (nc, d)
     drift = jnp.einsum("cid,cd->ci", g["G"], gphi)              # grad(phi).grad(v_i)
     A_cell = (
-        (g["vol"] / dt)[:, None, None] * M0
-        + (g["vol"] * D)[:, None, None] * GG
-        + z * psi * (g["vol"] * D)[:, None, None] * drift[:, :, None] * phibar[None, None, :]
-    )
-
-    # --- facet SIP (tag-0 facets) ----------------------------------------------
-    sip = masks["f_sip"]
-    mem = masks["f_mem"]
-    Dp = D[g["f_cp"]][:, None] * jnp.ones_like(g["f_Rp"][..., 0])
-    Dm = D[g["f_cm"]][:, None] * jnp.ones_like(g["f_Rp"][..., 0])
-    gnp = jnp.einsum("fd,fid->fi", g["f_n"], g["G"][g["f_cp"]])
-    gnm = jnp.einsum("fd,fid->fi", g["f_n"], g["G"][g["f_cm"]])
-    # penalty uses jump(D u) (solver.py:590): coefficient D per side
-    Mpp, Mpm, Mmp, Mmm = _sip_blocks(
-        g, Dp, Dm, gnp, gnm, tau / g["f_havg"], sip, pen_p=Dp, pen_m=Dm
+        z * psi * (g["vol"] * D)[:, None, None]
+        * drift[:, :, None] * phibar[None, None, :]
     )
 
     # --- upwinded drift on tag-0 facets (solver.py:583-594) ---------------------
@@ -342,12 +357,12 @@ def assemble_knp(
         )
 
     # -z psi <[v], un_p u_p - un_m u_m>
-    Mpp = Mpp + up_blk(g["f_Rp"], +1, g["f_Rp"], un_p, +1)
-    Mpm = Mpm + up_blk(g["f_Rp"], +1, g["f_Rm"], un_m, -1)
-    Mmp = Mmp + up_blk(g["f_Rm"], -1, g["f_Rp"], un_p, +1)
-    Mmm = Mmm + up_blk(g["f_Rm"], -1, g["f_Rm"], un_m, -1)
+    Mpp = up_blk(g["f_Rp"], +1, g["f_Rp"], un_p, +1)
+    Mpm = up_blk(g["f_Rp"], +1, g["f_Rm"], un_m, -1)
+    Mmp = up_blk(g["f_Rm"], -1, g["f_Rp"], un_p, +1)
+    Mmm = up_blk(g["f_Rm"], -1, g["f_Rm"], un_m, -1)
 
-    blocks = gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
+    blocks = static_blocks + gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
 
     # --- rhs ---------------------------------------------------------------------
     c_n = ion["c_n"]

@@ -240,6 +240,21 @@ class Solver:
             splitting=self.splitting_scheme, mms=self.mms, t=t,
         )
 
+    def _knp_static(self, k):
+        """Cache the time-independent KNP operator part per ion (mass +
+        stiffness + SIP; computed once, reused every step)."""
+        if not hasattr(self, "_knp_static_blocks"):
+            self._knp_static_blocks = {}
+        if k not in self._knp_static_blocks:
+            ion = self.ion_list[k]
+            iond = {"z": float(ion.z), "D": self.D[k]}
+            fn = self._jit(("knp_static",), partial(
+                assembly.assemble_knp_static, self.g, self.masks,
+                phys=self._phys_knp(),
+            ))
+            self._knp_static_blocks[k] = fn(ion=iond)
+        return self._knp_static_blocks[k]
+
     def _assemble_knp_ion(self, k, c, c_elim, phi, phi_M_pad, I_ch_pad, I_ch_tot_pad, t):
         call = self._all_c(c, c_elim)
         alpha_sum = jnp.einsum("k,kc,kci->ci", self.z**2, self.D, call)
@@ -257,6 +272,7 @@ class Solver:
             phi_M=phi_M_pad, I_ch_k=I_ch_pad[k], I_ch_tot=I_ch_tot_pad,
             f_source=f_source, splitting=self.splitting_scheme,
             mms=self.mms, mms_ion=k, t=t,
+            static_blocks=self._knp_static(k),
         )
 
     # ------------------------------------------------------------------
@@ -399,6 +415,14 @@ class Solver:
         np_dtype = np.dtype(jnp.dtype(self.dtype).name)
         if p.phi_M_init_type == "constant":
             phi_M = np.full(self.n_mem, float(p.phi_M_init), dtype=np_dtype)
+            # active runs: seed phi_M from each membrane model's resting V so
+            # the first ODE step sees its own initial state (the reference
+            # instead *skips* the V push on step 0, solver.py:1086-1094 --
+            # same semantics, but this also keeps the fused/benchmark step
+            # uniform across iterations)
+            for tag, mm in self.mem_models.items():
+                s0, s1 = self.tables.slices[tag]
+                phi_M[s0:s1] = np.asarray(mm.states)[:, mm.model.STATES["V"]]
         elif p.phi_M_init_type == "expression":
             phi_M = np.asarray(
                 [p.phi_M_init(x) for x in self.tables.midpoints]
@@ -473,7 +497,9 @@ class Solver:
 
     def _make_precond(self, blocks, P_diag, sp_: SolverParams, sym: bool):
         """BoomerAMG stand-in: two-level aggregation preconditioner
-        (solvers/twolevel.py), or plain block-Jacobi."""
+        (solvers/twolevel.py), or plain block-Jacobi.  `sym` marks the
+        (singular) EMI operator, which also gets the rank-one nullspace
+        regularization of the coarse matrix."""
         if sp_.precond.startswith("two_level"):
             if not hasattr(self, "_agg"):
                 agg = aggregate_ids_graph(self.mesh, sp_.agg_size)
@@ -485,7 +511,7 @@ class Solver:
             )
             return make_two_level(
                 blocks, P_diag, self.g["nbr"], self._agg, self._n_agg,
-                sym=sym, matvec=mv,
+                sym=sym, matvec=mv, nullspace_rank1=sym,
             )
         Pinv = block_jacobi_inverse(P_diag)
         return lambda r: block_jacobi_apply(Pinv, r)

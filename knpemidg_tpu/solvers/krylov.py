@@ -47,12 +47,14 @@ def pcg(
     """Preconditioned conjugate gradients.
 
     Convergence is tested in the *preconditioned* residual norm
-    ``sqrt(r . M^-1 r)`` relative to ``sqrt(b . M^-1 b)`` -- the PETSc KSPCG
-    default the reference relies on (solver.py:425-436).  This matters for
-    the EMI system: the near-null per-compartment modes have tiny
-    eigenvalues, so the plain residual norm is blind to exactly the
-    membrane-jump error that drives the physics; the M^-1-weighted norm
-    (with the two-level M resolving those modes) controls it.
+    ``||M^-1 r||_2`` relative to ``||M^-1 b||_2`` -- the PETSc KSPCG default
+    (KSP_NORM_PRECONDITIONED) the reference relies on (solver.py:425-436).
+    This matters enormously for the EMI system: the per-compartment membrane
+    jump modes have eigenvalues orders of magnitude below the bulk modes, so
+    the plain (or natural sqrt(r.z)) residual norm is nearly blind to
+    exactly the error that carries the physics; ||M^-1 r|| weights those
+    modes by 1/lambda (the two-level M resolves them) and controls the
+    solution error directly.
     """
     proj = _project_constant if project_nullspace else (lambda v: v)
 
@@ -63,12 +65,12 @@ def pcg(
     p = z
     rz = _dot(r, z)
     bz = precond(b)
-    bnorm = jnp.sqrt(jnp.abs(_dot(b, bz)))
+    bnorm = jnp.sqrt(_dot(bz, bz))
     tol = jnp.maximum(rtol * bnorm, atol)
 
     def cond(state):
         x, r, z, p, rz, k = state
-        return (jnp.sqrt(jnp.abs(rz)) > tol) & (k < max_it)
+        return (jnp.sqrt(_dot(z, z)) > tol) & (k < max_it)
 
     def body(state):
         x, r, z, p, rz, k = state
@@ -83,7 +85,7 @@ def pcg(
         return (x, r, z, p, rz_new, k + 1)
 
     x, r, z, p, rz, k = jax.lax.while_loop(cond, body, (x0, r, z, p, rz, jnp.int32(0)))
-    rn = jnp.sqrt(jnp.abs(rz))
+    rn = jnp.sqrt(_dot(z, z))
     return KrylovResult(x=x, iters=k, resnorm=rn, converged=rn <= tol)
 
 

@@ -121,25 +121,39 @@ def coarse_matrix(blocks, nbr, agg, n_agg, extra_diag=None):
 
 
 def make_two_level(blocks, P_diag, nbr, agg, n_agg, sym: bool = True,
-                   matvec: Callable | None = None, omega: float = 2.0 / 3.0) -> Callable:
+                   matvec: Callable | None = None, omega: float = 2.0 / 3.0,
+                   nullspace_rank1: bool = False) -> Callable:
     """Build the preconditioner apply function for one assembled operator.
 
-    P_diag: (nc, nd, nd) regularized diagonal blocks (smoother + coarse
-    regularization); blocks: the operator itself.  `sym=False` uses an LU
-    coarse factorization (the upwinded KNP operator).  With `matvec` given,
-    applies a symmetric multiplicative V-cycle (damped-BJ pre/post smoothing
-    around the coarse correction); otherwise the additive combination.
+    P_diag: (nc, nd, nd) diagonal blocks for the block-Jacobi smoother;
+    blocks: the operator itself.  `sym=False` uses a symmetrized coarse
+    operator (the upwinded KNP case).  With `matvec` given, applies a
+    symmetric multiplicative V-cycle (damped-BJ pre/post smoothing around
+    the coarse correction); otherwise the additive combination.
+
+    `nullspace_rank1` (the singular EMI operator): the coarse matrix is
+    regularized ONLY in its exact null direction (the global constant) by a
+    rank-one shift s * 1 1^T.  Crucially, no broader mass shift is added:
+    the per-compartment membrane-jump eigenvalues (~ C_phi * membrane area)
+    are orders of magnitude below the bulk spectrum, and any blanket
+    regularization larger than them would make the coarse solve blind to
+    exactly the modes this preconditioner exists to fix.
     """
     Pinv = block_jacobi_inverse(P_diag)
-    extra = P_diag - blocks[:, 0]
-    Ac = coarse_matrix(blocks, nbr, agg, n_agg, extra_diag=extra)
+    Ac = coarse_matrix(blocks, nbr, agg, n_agg)
     if not sym:
         # upwind drift makes Ac slightly nonsymmetric; symmetrize so the
         # Cholesky coarse solve (the TPU-friendly factorization) applies
         Ac = 0.5 * (Ac + Ac.T)
-    # dense Cholesky (n_agg ~ n_cells/agg_size, e.g. ~2k): MXU-friendly
+    if nullspace_rank1:
+        s = jnp.mean(jnp.diagonal(Ac))
+        Ac = Ac + (s / n_agg) * jnp.ones_like(Ac)
+    # Explicit inverse via Cholesky, computed once per assembly: triangular
+    # solves are sequential (slow per Krylov iteration on TPU); a dense
+    # n_agg x n_agg GEMV per apply keeps the coarse correction on the MXU.
     fac = jax.scipy.linalg.cho_factor(Ac)
-    solve = lambda rc: jax.scipy.linalg.cho_solve(fac, rc)
+    Acinv = jax.scipy.linalg.cho_solve(fac, jnp.eye(Ac.shape[0], dtype=Ac.dtype))
+    solve = lambda rc: Acinv @ rc
     nd = blocks.shape[2]
     nc = blocks.shape[0]
 
