@@ -255,13 +255,14 @@ class Solver:
             self._knp_static_blocks[k] = fn(ion=iond)
         return self._knp_static_blocks[k]
 
-    def _assemble_knp_ion(self, k, c, c_elim, phi, phi_M_pad, I_ch_pad, I_ch_tot_pad, t):
+    def _assemble_knp_ion(self, k, c, c_elim, phi, phi_M_pad, I_ch_pad,
+                          I_ch_tot_pad, t, c_n=None):
         call = self._all_c(c, c_elim)
         alpha_sum = jnp.einsum("k,kc,kci->ci", self.z**2, self.D, call)
         ion = self.ion_list[k]
         iond = {
             "z": float(ion.z), "D": self.D[k],
-            "c_n": c[k], "c_k": c[k],
+            "c_n": c[k] if c_n is None else c_n[k], "c_k": c[k],
         }
         if self.mms is not None:
             iond["C_sub_i"] = float(ion.C_sub[1])
@@ -278,16 +279,22 @@ class Solver:
     # ------------------------------------------------------------------
     # one PDE time step (steps I + II + updates)
     # ------------------------------------------------------------------
-    def _pde_step(self, state, solver_params: SolverParams):
+    def _pde_step(self, state, solver_params: SolverParams, c_n=None,
+                  advance_time: bool = True):
         """Pure function: EMI solve -> KNP solves -> state updates.
 
         Direct solves (MMS verification) run on host between jitted
-        assemblies; the iterative path is fully traceable.
+        assemblies; the iterative path is fully traceable.  ``c_n`` (the
+        previous *time-level* concentrations) defaults to the current state;
+        Picard inner iterations pass the frozen time-level explicitly while
+        the state carries the latest Picard iterate (solver.py:850-927).
         """
         sp_ = solver_params
         c, c_elim, phi, phi_M, t = (
             state["c"], state["c_elim"], state["phi"], state["phi_M"], state["t"]
         )
+        if c_n is None:
+            c_n = c
         pad = lambda v: jnp.concatenate([v, jnp.zeros(1, dtype=v.dtype)])
         phi_M_pad = pad(phi_M)
         I_ch = state["I_ch"]                         # (n_ions, n_mem)
@@ -327,7 +334,8 @@ class Solver:
                 ("asm_knp", k, self.splitting_scheme),
                 partial(self._assemble_knp_ion, k),
             )
-            blocks, rhs = asm_knp(c, c_elim, phi, phi_M_pad, I_ch_pad, I_ch_tot_pad, t)
+            blocks, rhs = asm_knp(c, c_elim, phi, phi_M_pad, I_ch_pad,
+                                  I_ch_tot_pad, t, c_n)
             if sp_.direct_knp:
                 ck = jnp.asarray(
                     direct_solvers.solve_direct(blocks, self.g["nbr"], rhs),
@@ -353,11 +361,45 @@ class Solver:
         c_elim = assembly.eliminated_concentration(
             c, self.z[:-1], self.rho, float(self.ion_list[-1].z)
         )
-        t = t + self.params.dt
+        if advance_time:
+            t = t + self.params.dt
 
         new_state = dict(state)
         new_state.update(c=c, c_elim=c_elim, phi=phi, phi_M=phi_M, t=t)
         return new_state, stats
+
+    # ------------------------------------------------------------------
+    # Picard iteration (solver.py:850-927)
+    # ------------------------------------------------------------------
+    def solve_for_time_step_picard(self, state, solver_params: SolverParams,
+                                   tol: float = 1e-4, max_iter: int = 25):
+        """One global time step via inner Picard iterations over steps I+II,
+        converged when the sup-norm change of the concentrations drops below
+        `tol` (reference defaults, solver.py:862-864); diverging iterations
+        raise (reference exits, :912-915)."""
+        c_n = state["c"]
+        s = dict(state)
+        s["t"] = state["t"] + self.params.dt      # t advanced first (:859)
+        step = self._jit(
+            ("picard_inner", self.splitting_scheme, solver_params),
+            partial(self._pde_step, solver_params=solver_params,
+                    advance_time=False),
+        ) if not (solver_params.direct_emi or solver_params.direct_knp) else \
+            partial(self._pde_step, solver_params=solver_params,
+                    advance_time=False)
+        eps = np.inf
+        it = 0
+        stats = None
+        while eps > tol:
+            it += 1
+            prev = s["c"]
+            s, stats = step(dict(s, c=s["c"]), c_n=c_n)
+            eps = float(jnp.abs(prev - s["c"]).max())
+            if it > max_iter:
+                raise RuntimeError(f"Picard solver diverged (eps={eps})")
+        if solver_params.verbose:
+            print(f"{bcolors.OKCYAN} Summary Picard: eps = {eps}, #iters = {it} {bcolors.ENDC}")
+        return s, stats, it
 
     # ------------------------------------------------------------------
     # ODE step (step 0 of the splitting, solver.py:1072-1118)
@@ -451,7 +493,8 @@ class Solver:
     # ------------------------------------------------------------------
     def solve_system_passive(self, Tstop, t, solver_params: SolverParams,
                              membrane_params=None, filename=None,
-                             save_fields=False, save_solver_stats=False):
+                             save_fields=False, save_solver_stats=False,
+                             picard=False):
         """No splitting / no ODE stepping; used by the MMS verification
         drivers (solver.py:930-1011)."""
         self.splitting_scheme = False
@@ -461,7 +504,11 @@ class Solver:
             self._h5.append(state)
         n_steps = int(round(Tstop / self.params.dt))
         for k in range(n_steps):
-            state = self._timed_pde_step(state, solver_params, k)
+            if picard:
+                state, st, _ = self.solve_for_time_step_picard(state, solver_params)
+                self.stats.record_step(st, 0.0)
+            else:
+                state = self._timed_pde_step(state, solver_params, k)
             self._io_step(state, k)
         self._io_close()
         self.state = state
