@@ -20,7 +20,7 @@ def calibrate(model=None, n_steps=100_000, dt=0.1, n_sub=2):
     model = model or CalibrationEMIx()
     mm = make_membrane(model, np.zeros((1, 2)))
     mm = ode_run(mm, 0.0, dt, n_steps, n_sub=n_sub)
-    return {name: float(mm.states[0, i]) for name, i in model.STATES.items()}
+    return {name: float(mm.states[i, 0]) for name, i in model.STATES.items()}
 
 
 def main(variant="emix"):

@@ -75,10 +75,11 @@ def roi_source(g_syn, t_syn, sign, roi):
     (xmin, xmax), (ymin, ymax), (zmin, zmax) = roi
 
     def f(x, t):
+        # x is (nq, d, nc): coordinate components on axis -2
         inside = (
-            (x[..., 0] >= xmin) & (x[..., 0] <= xmax)
-            & (x[..., 1] >= ymin) & (x[..., 1] <= ymax)
-            & (x[..., 2] >= zmin) & (x[..., 2] <= zmax)
+            (x[..., 0, :] >= xmin) & (x[..., 0, :] <= xmax)
+            & (x[..., 1, :] >= ymin) & (x[..., 1, :] <= ymax)
+            & (x[..., 2, :] >= zmin) & (x[..., 2, :] <= zmax)
         )
         active = (t >= 0.2) & (t <= t_syn)
         return sign * g_syn * inside * active

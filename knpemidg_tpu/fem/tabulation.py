@@ -64,14 +64,28 @@ class Geometry:
     cf_is_plus: np.ndarray     # (nc, d+1) bool
     nbr: np.ndarray            # (nc, d+2): [self, neighbor across facet l...]
 
+    # Arrays whose leading cell/facet axis is moved LAST on device.
+    # TPU layouts tile the trailing two dims to (8 sublanes, 128 lanes):
+    # a (240k, 4, 4) block tensor pads 32x (observed: 14.7MB -> 469MB),
+    # and every (nc, 4) field op wastes 32x bandwidth.  Cells-last keeps
+    # the long axis in the lane dimension (~1x padding) -- the single most
+    # important TPU-native layout decision in this framework.
+    _CELLS_LAST = {
+        "G", "cell_qp", "cell_mid", "f_Rp", "f_Rm", "f_n", "f_qp", "f_mid",
+        "e_R", "e_n", "e_qp", "cf_idx", "cf_is_plus", "nbr",
+    }
+
     def to_device(self, dtype=np.float64):
-        """Return a dict pytree of jnp arrays (floats cast to `dtype`)."""
+        """Return a dict pytree of jnp arrays (floats cast to `dtype`),
+        cell/facet-indexed tensors transposed to cells-last layout."""
         import jax.numpy as jnp
 
         out = {}
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
             if isinstance(v, np.ndarray):
+                if f.name in self._CELLS_LAST and v.ndim > 1:
+                    v = np.moveaxis(v, 0, -1)
                 if np.issubdtype(v.dtype, np.floating):
                     out[f.name] = jnp.asarray(v, dtype=dtype)
                 elif v.dtype == bool:

@@ -51,13 +51,15 @@ class H5Writer:
 
     def append(self, state: Dict[str, Any]):
         i = self.idx
+        # device fields are cells-last (nd, nc); stored as (nc, nd) to match
+        # the documented dof layout
         self.f["concentrations"].create_dataset(
-            f"vector_{i}", data=np.asarray(state["c"])
+            f"vector_{i}", data=np.asarray(state["c"]).transpose(0, 2, 1)
         )
         self.f["elim_concentration"].create_dataset(
-            f"vector_{i}", data=np.asarray(state["c_elim"])
+            f"vector_{i}", data=np.asarray(state["c_elim"]).T
         )
-        self.f["potential"].create_dataset(f"vector_{i}", data=np.asarray(state["phi"]))
+        self.f["potential"].create_dataset(f"vector_{i}", data=np.asarray(state["phi"]).T)
         self.times.append(float(state["t"]))
         self.idx += 1
 

@@ -33,10 +33,14 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MembraneState:
-    """States/params for all membrane points of one tag (pytree)."""
+    """States/params for all membrane points of one tag (pytree).
 
-    states: jnp.ndarray                       # (n, n_states)
-    params: jnp.ndarray                       # (n, n_params)
+    Layout: points LAST -- (n_states, n) / (n_params, n) -- so the long
+    membrane-point axis maps onto the TPU lane dimension (a (n, 1)-state
+    glial model stored points-first would pad 128x)."""
+
+    states: jnp.ndarray                       # (n_states, n)
+    params: jnp.ndarray                       # (n_params, n)
     model: Any = dataclasses.field(metadata=dict(static=True))
 
     # -- convenience accessors (reference set_state/get_state, membrane.py:44-77)
@@ -47,15 +51,15 @@ class MembraneState:
         return name in self.model.STATES
 
     def get_state(self, name):
-        return self.states[:, self.model.STATES[name]]
+        return self.states[self.model.STATES[name]]
 
     def replace_state(self, name, values):
         idx = self.model.STATES[name]
         if isinstance(self.states, np.ndarray):
             states = self.states.copy()
-            states[:, idx] = np.asarray(values)
+            states[idx] = np.asarray(values)
             return dataclasses.replace(self, states=states)
-        return dataclasses.replace(self, states=self.states.at[:, idx].set(values))
+        return dataclasses.replace(self, states=self.states.at[idx].set(values))
 
 
 def make_membrane(model, midpoints: np.ndarray, dtype=jnp.float64) -> MembraneState:
@@ -67,8 +71,8 @@ def make_membrane(model, midpoints: np.ndarray, dtype=jnp.float64) -> MembraneSt
     p0 = np.asarray(model.init_params(), dtype=np.float64)
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     return MembraneState(
-        states=np.tile(s0, (n, 1)).astype(np_dtype),
-        params=np.tile(p0, (n, 1)).astype(np_dtype),
+        states=np.tile(s0[:, None], (1, n)).astype(np_dtype),
+        params=np.tile(p0[:, None], (1, n)).astype(np_dtype),
         model=model,
     )
 
@@ -77,13 +81,13 @@ def set_param(mm: MembraneState, name: str, values) -> MembraneState:
     idx = mm.model.PARAMS[name]
     if isinstance(mm.params, np.ndarray):
         params = mm.params.copy()
-        params[:, idx] = np.asarray(values)
+        params[idx] = np.asarray(values)
         return dataclasses.replace(mm, params=params)
-    return dataclasses.replace(mm, params=mm.params.at[:, idx].set(values))
+    return dataclasses.replace(mm, params=mm.params.at[idx].set(values))
 
 
 def get_param(mm: MembraneState, name: str):
-    return mm.params[:, mm.model.PARAMS[name]]
+    return mm.params[mm.model.PARAMS[name]]
 
 
 def ode_step(mm: MembraneState, t, dt: float, n_sub: int) -> MembraneState:
@@ -108,15 +112,16 @@ def ode_step(mm: MembraneState, t, dt: float, n_sub: int) -> MembraneState:
         y, _ = jax.lax.fori_loop(0, n_sub, sub, (y, jnp.asarray(t, y.dtype)))
         return y
 
-    states = jax.vmap(rk4_point)(mm.states, mm.params)
+    states = jax.vmap(rk4_point, in_axes=-1, out_axes=-1)(mm.states, mm.params)
     mm = dataclasses.replace(mm, states=states)
 
     # write back channel currents at (t+dt, y_final) -- the reference's RHS
     # side effect (mm_hh.py:154-159) evaluated at the end of the interval
-    cur = jax.vmap(lambda y, p: model.currents(t + dt, y, p))(states, mm.params)
+    cur = jax.vmap(lambda y, p: model.currents(t + dt, y, p),
+                   in_axes=-1, out_axes=-1)(states, mm.params)
     params = mm.params
     for name, vals in cur.items():
-        params = params.at[:, model.PARAMS[name]].set(vals)
+        params = params.at[model.PARAMS[name]].set(vals)
     return dataclasses.replace(mm, params=params)
 
 

@@ -24,15 +24,19 @@ WALL_NORMALS = {1: (-1, 0), 2: (0, -1), 3: (1, 0), 4: (0, 1)}
 
 
 def _lambdify(expr, syms):
-    """Lambdify expr(x, y, t) -> f(x_array (..., 2), t) with broadcasting."""
+    """Lambdify expr(x, y, t) -> f(x_array (..., d, n), t) with broadcasting.
+
+    Device quadrature points are cells-last: coordinate components sit on
+    axis -2 (see ops/assembly.py layout notes)."""
     x, y, t = syms
     fn = sp.lambdify((x, y, t), expr, modules="jax")
 
     def wrapped(xa, ta):
         import jax.numpy as jnp
 
-        out = fn(xa[..., 0], xa[..., 1], ta)
-        return jnp.broadcast_to(jnp.asarray(out, dtype=xa.dtype), xa[..., 0].shape)
+        out = fn(xa[..., 0, :], xa[..., 1, :], ta)
+        shape = xa.shape[:-2] + xa.shape[-1:]
+        return jnp.broadcast_to(jnp.asarray(out, dtype=xa.dtype), shape)
 
     return wrapped
 
@@ -50,18 +54,22 @@ def _lambdify_np(expr, syms):
 
 
 def _lambdify_vec(exprs, syms):
+    """Vector-valued variant -> (..., d, n) with components on axis -2."""
     x, y, t = syms
     fns = [sp.lambdify((x, y, t), e, modules="jax") for e in exprs]
 
     def wrapped(xa, ta):
         import jax.numpy as jnp
 
+        shape = xa.shape[:-2] + xa.shape[-1:]
         comps = [
-            jnp.broadcast_to(jnp.asarray(f(xa[..., 0], xa[..., 1], ta), dtype=xa.dtype),
-                             xa[..., 0].shape)
+            jnp.broadcast_to(
+                jnp.asarray(f(xa[..., 0, :], xa[..., 1, :], ta), dtype=xa.dtype),
+                shape,
+            )
             for f in fns
         ]
-        return jnp.stack(comps, axis=-1)
+        return jnp.stack(comps, axis=-2)
 
     return wrapped
 

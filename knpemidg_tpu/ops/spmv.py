@@ -1,10 +1,11 @@
-"""Block-ELL sparse matvec.
+"""Block-ELL sparse matvec, cells-last layout.
 
-The DG operator has a fixed sparsity of d+2 blocks per cell row (self +
-one neighbor per facet), stored dense as ``blocks (nc, K, nd, nd)`` with the
-neighbor table ``nbr (nc, K)`` (slot 0 = self).  The matvec is gather +
-batched small matmul -- no scatters, so it maps cleanly onto TPU vector
-units and shards over the cell axis with only halo gathers.
+The DG operator has a fixed sparsity of K = d+2 blocks per cell row (self +
+one neighbor per facet), stored dense as ``blocks (K, nd, nd, nc)`` with
+the neighbor table ``nbr (K, nc)`` (slot 0 = self).  The matvec is gather +
+small fused multiply-add over the lane (cell) axis -- no scatters, no MXU
+needed, bandwidth-bound at ~K*nd^2 floats/row, and shards over the cell
+axis with only halo gathers.
 
 Replaces PETSc MatMult inside the Krylov loops (SURVEY.md N3).
 """
@@ -14,17 +15,18 @@ import jax.numpy as jnp
 
 
 def bell_matvec(blocks: jnp.ndarray, nbr: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """y[c] = sum_k blocks[c,k] @ x[nbr[c,k]];  x, y: (nc, nd)."""
-    xg = x[nbr]                                   # (nc, K, nd)
-    return jnp.einsum("ckij,ckj->ci", blocks, xg)
+    """y[i,c] = sum_{k,j} blocks[k,i,j,c] * x[j, nbr[k,c]];  x, y: (nd, nc)."""
+    xg = x[:, nbr]                                 # (nd, K, nc)
+    return jnp.einsum("kijc,jkc->ic", blocks, xg)
 
 
 def block_jacobi_inverse(diag_blocks: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of the (nd x nd) diagonal blocks -> (nc, nd, nd).
+    """Inverse of the (nd x nd) diagonal blocks: (nd, nd, nc) -> same.
 
-    Stand-in for hypre BoomerAMG (SURVEY.md N4) as the v1 preconditioner."""
-    return jnp.linalg.inv(diag_blocks)
+    Stand-in smoother for hypre BoomerAMG (SURVEY.md N4)."""
+    inv = jnp.linalg.inv(jnp.moveaxis(diag_blocks, -1, 0))
+    return jnp.moveaxis(inv, 0, -1)
 
 
 def block_jacobi_apply(Pinv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum("cij,cj->ci", Pinv, r)
+    return jnp.einsum("ijc,jc->ic", Pinv, r)

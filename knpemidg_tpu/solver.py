@@ -175,10 +175,13 @@ class Solver:
         (solver.py:157-225)."""
         c0 = []
         for ion in self.ion_list:
-            c0.append(self._interp_init(ion.c_init_sub, ion.c_init_sub_type))
+            # host interpolation is (nc, nd); device layout is cells-last
+            c0.append(self._interp_init(ion.c_init_sub, ion.c_init_sub_type).T)
         self.c_init = jnp.asarray(np.stack(c0[:-1]), dtype=self.dtype)
         self.c_elim_init = jnp.asarray(c0[-1], dtype=self.dtype)
-        self.phi_init = jnp.zeros((self.n_cells, self.nd), dtype=self.dtype)
+        self.phi_init = jnp.asarray(
+            np.zeros((self.nd, self.n_cells)), dtype=self.dtype
+        )
         return self
 
     def setup_membrane_model(self, stim_params: StimParams, odes: Dict[int, Any]):
@@ -258,7 +261,7 @@ class Solver:
     def _assemble_knp_ion(self, k, c, c_elim, phi, phi_M_pad, I_ch_pad,
                           I_ch_tot_pad, t, c_n=None):
         call = self._all_c(c, c_elim)
-        alpha_sum = jnp.einsum("k,kc,kci->ci", self.z**2, self.D, call)
+        alpha_sum = jnp.einsum("k,kc,kic->ic", self.z**2, self.D, call)
         ion = self.ion_list[k]
         iond = {
             "z": float(ion.z), "D": self.D[k],
@@ -346,7 +349,7 @@ class Solver:
                 res = gmres(
                     lambda v: bell_matvec(blocks, self.g["nbr"], v),
                     rhs, c[k],
-                    self._make_precond(blocks, blocks[:, 0], sp_, sym=False),
+                    self._make_precond(blocks, blocks[0], sp_, sym=False),
                     rtol=sp_.rtol_knp, atol=sp_.atol_knp,
                     max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
                 )
@@ -464,7 +467,7 @@ class Solver:
             # uniform across iterations)
             for tag, mm in self.mem_models.items():
                 s0, s1 = self.tables.slices[tag]
-                phi_M[s0:s1] = np.asarray(mm.states)[:, mm.model.STATES["V"]]
+                phi_M[s0:s1] = np.asarray(mm.states)[mm.model.STATES["V"]]
         elif p.phi_M_init_type == "expression":
             phi_M = np.asarray(
                 [p.phi_M_init(x) for x in self.tables.midpoints]

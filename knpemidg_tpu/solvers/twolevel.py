@@ -104,20 +104,15 @@ def aggregate_ids_graph(mesh, agg_size: int) -> np.ndarray:
     return agg
 
 
-def coarse_matrix(blocks, nbr, agg, n_agg, extra_diag=None):
+def coarse_matrix(blocks, nbr, agg, n_agg):
     """A_c[a,b] = sum over cell rows in a, neighbor cols in b of block sums.
 
-    extra_diag (nc, nd, nd): added to the row-diagonal (e.g. the mass
-    regularization of the B operator) before coarsening.
-    """
-    v = blocks.sum(axis=(2, 3))                 # (nc, K)
-    rows = jnp.repeat(agg, v.shape[1]).reshape(v.shape)
+    blocks (K, nd, nd, nc), nbr (K, nc), agg (nc,)."""
+    v = blocks.sum(axis=(1, 2))                 # (K, nc)
+    rows = jnp.broadcast_to(agg[None, :], v.shape)
     cols = agg[nbr]
     Ac = jnp.zeros((n_agg, n_agg), dtype=blocks.dtype)
-    Ac = Ac.at[rows.ravel(), cols.ravel()].add(v.ravel())
-    if extra_diag is not None:
-        Ac = Ac.at[agg, agg].add(extra_diag.sum(axis=(1, 2)))
-    return Ac
+    return Ac.at[rows.ravel(), cols.ravel()].add(v.ravel())
 
 
 def make_two_level(blocks, P_diag, nbr, agg, n_agg, sym: bool = True,
@@ -138,6 +133,8 @@ def make_two_level(blocks, P_diag, nbr, agg, n_agg, sym: bool = True,
     are orders of magnitude below the bulk spectrum, and any blanket
     regularization larger than them would make the coarse solve blind to
     exactly the modes this preconditioner exists to fix.
+
+    Layout: blocks (K, nd, nd, nc); residuals (nd, nc).
     """
     Pinv = block_jacobi_inverse(P_diag)
     Ac = coarse_matrix(blocks, nbr, agg, n_agg)
@@ -154,15 +151,14 @@ def make_two_level(blocks, P_diag, nbr, agg, n_agg, sym: bool = True,
     fac = jax.scipy.linalg.cho_factor(Ac)
     Acinv = jax.scipy.linalg.cho_solve(fac, jnp.eye(Ac.shape[0], dtype=Ac.dtype))
     solve = lambda rc: Acinv @ rc
-    nd = blocks.shape[2]
-    nc = blocks.shape[0]
+    nd = blocks.shape[1]
+    nc = blocks.shape[3]
 
     def coarse(r):
-        # restrict: sum all dofs per aggregate (sorted segment ids after
-        # the Morton renumbering); prolong: broadcast
-        rc = jax.ops.segment_sum(r.sum(axis=1), agg, num_segments=n_agg)
+        # restrict: sum all dofs per aggregate; prolong: broadcast
+        rc = jax.ops.segment_sum(r.sum(axis=0), agg, num_segments=n_agg)
         zc = solve(rc)
-        return jnp.broadcast_to(zc[agg][:, None], (nc, nd))
+        return jnp.broadcast_to(zc[agg][None, :], (nd, nc))
 
     if matvec is None:
         def apply(r):                      # additive: BJ + coarse

@@ -79,9 +79,9 @@ def test_run_tortuosity_small():
     state = S.solve_system_active(10 * S.params.dt, 0.0, _sp())
     c = np.asarray(state["c"])
     assert np.all(np.isfinite(c)) and np.all(c > 0)
-    # K was injected: max ECS K above initial
+    # K was injected: max ECS K above initial (c is (n_ions, nd, nc))
     K_ecs0 = 3.092970607490389
     ecs = S.mesh.cell_tags == 0
-    assert c[0][ecs].max() > K_ecs0 * 1.01, c[0][ecs].max()
+    assert c[0][:, ecs].max() > K_ecs0 * 1.01, c[0][:, ecs].max()
     # immobile charge present: eliminated Cl reconstruction stays positive
     assert np.asarray(state["c_elim"]).min() > 0

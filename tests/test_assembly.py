@@ -43,14 +43,14 @@ def assemble_reaction_diffusion(mesh, f):
     ion = {
         "z": 1.0,
         "D": jnp.ones(nc),
-        "c_n": jnp.zeros((nc, nd)),
-        "c_k": jnp.ones((nc, nd)),
+        "c_n": jnp.zeros((nd, nc)),
+        "c_k": jnp.ones((nd, nc)),
     }
     phys = {"F": 1.0, "psi": 1.0, "C_M": 1.0, "dt": 1.0, "tau_knp": 20.0 * 2 * 1}
     blocks, rhs = assembly.assemble_knp(
         g, masks, ion, phys,
-        phi=jnp.zeros((nc, nd)),
-        alpha_sum=jnp.ones((nc, nd)),
+        phi=jnp.zeros((nd, nc)),
+        alpha_sum=jnp.ones((nd, nc)),
         phi_M=jnp.zeros(1),
         I_ch_k=jnp.zeros(1),
         I_ch_tot=jnp.zeros(1),
@@ -65,8 +65,9 @@ def exact(x):
 
 
 def source(x, t):
-    return (1 + 8 * jnp.pi**2) * jnp.cos(2 * jnp.pi * x[..., 0]) * jnp.cos(
-        2 * jnp.pi * x[..., 1]
+    # device quadrature points are (nq, d, nc): components on axis -2
+    return (1 + 8 * jnp.pi**2) * jnp.cos(2 * jnp.pi * x[..., 0, :]) * jnp.cos(
+        2 * jnp.pi * x[..., 1, :]
     )
 
 
@@ -76,7 +77,7 @@ def test_reaction_diffusion_convergence_direct():
         mesh = unit_square(n)
         g, blocks, rhs = assemble_reaction_diffusion(mesh, source)
         u = solve_direct(np.asarray(blocks), np.asarray(g["nbr"]), np.asarray(rhs))
-        errs.append(l2_error(mesh, u, exact))
+        errs.append(l2_error(mesh, u.T, exact))
         hs.append(mesh.hmin())
     rates = np.log(np.array(errs[1:]) / np.array(errs[:-1])) / np.log(
         np.array(hs[1:]) / np.array(hs[:-1])
@@ -90,9 +91,9 @@ def test_matrix_symmetric_and_matvec_agrees():
     A = bell_to_csr(np.asarray(blocks), np.asarray(g["nbr"]))
     asym = abs(A - A.T).max()
     assert asym < 1e-12
-    x = np.random.default_rng(0).standard_normal(rhs.shape)
+    x = np.random.default_rng(0).standard_normal(rhs.shape)      # (nd, nc)
     y1 = bell_matvec(blocks, g["nbr"], jnp.asarray(x))
-    y2 = (A @ x.ravel()).reshape(x.shape)
+    y2 = (A @ x.T.ravel()).reshape(x.shape[::-1]).T
     assert np.allclose(np.asarray(y1), y2, atol=1e-12)
 
 
@@ -100,7 +101,7 @@ def test_krylov_solvers_match_direct():
     mesh = unit_square(16)
     g, blocks, rhs = assemble_reaction_diffusion(mesh, source)
     u_ref = solve_direct(np.asarray(blocks), np.asarray(g["nbr"]), np.asarray(rhs))
-    Pinv = block_jacobi_inverse(blocks[:, 0])
+    Pinv = block_jacobi_inverse(blocks[0])
     mv = lambda v: bell_matvec(blocks, g["nbr"], v)
     pc = lambda r: block_jacobi_apply(Pinv, r)
     x0 = jnp.zeros_like(rhs)
@@ -110,9 +111,12 @@ def test_krylov_solvers_match_direct():
     # GMRES is exercised on a mass-dominated operator (the production KNP
     # regime, dt small): restarted GMRES without AMG is not competitive on
     # the pure-Laplacian limit, CG covers that case above.
-    blocks2 = blocks.at[:, 0].add(100.0 * jnp.eye(rhs.shape[1]) * jnp.asarray(g["vol"])[:, None, None])
+    nd = rhs.shape[0]
+    blocks2 = blocks.at[0].add(
+        100.0 * jnp.eye(nd)[:, :, None] * jnp.asarray(g["vol"])[None, None, :]
+    )
     u_ref2 = solve_direct(np.asarray(blocks2), np.asarray(g["nbr"]), np.asarray(rhs))
-    Pinv2 = block_jacobi_inverse(blocks2[:, 0])
+    Pinv2 = block_jacobi_inverse(blocks2[0])
     mv2 = lambda v: bell_matvec(blocks2, g["nbr"], v)
     pc2 = lambda r: block_jacobi_apply(Pinv2, r)
     res2 = gmres(mv2, rhs, x0, pc2, rtol=1e-10, atol=0.0, max_it=500, restart=20)
@@ -128,7 +132,7 @@ def test_emi_operator_nullspace_and_symmetry():
     masks = make_masks(g, tables)
     nc, nd = mesh.num_cells, 3
     rng = np.random.default_rng(1)
-    c = jnp.asarray(1.0 + 0.1 * rng.random((3, nc, nd)))
+    c = jnp.asarray(1.0 + 0.1 * rng.random((3, nd, nc)))
     ions = {
         "z": jnp.asarray([1.0, -1.0, 1.0]),
         "D": jnp.asarray(np.stack([np.full(nc, 6.0), np.full(nc, 3.0), np.full(nc, 1.0)])),

@@ -36,24 +36,24 @@ def test_hh_matches_lsoda():
     ]:
         mm = set_param(mm, name, np.full(4, val))
 
-    params = np.asarray(mm.params[0])
-    y0 = np.asarray(mm.states[0])
+    params = np.asarray(mm.params[:, 0])
+    y0 = np.asarray(mm.states[:, 0])
     dt = 1.0e-4          # PDE step (s)
     n_pde_steps = 20     # 2 ms -- spans the upstroke of the first AP
     t_eval = np.arange(n_pde_steps + 1) * dt
     ref = _scipy_reference(model, params, y0, t_eval)
 
-    traj = [np.asarray(mm.states[0])]
+    traj = [np.asarray(mm.states[:, 0])]
     t = 0.0
     for _ in range(n_pde_steps):
         mm = ode_step(mm, t, dt, n_sub=25)
-        traj.append(np.asarray(mm.states[0]))
+        traj.append(np.asarray(mm.states[:, 0]))
         t += dt
     traj = np.array(traj)
 
     # all 4 vmapped points identical
     s = np.asarray(mm.states)
-    assert np.allclose(s, s[0], atol=0.0)
+    assert np.allclose(s, s[:, :1], atol=0.0)
     # V trajectory within 0.1 mV of LSODA
     assert np.abs(traj[:, 3] - ref[:, 3]).max() < 1e-4, \
         np.abs(traj[:, 3] - ref[:, 3]).max()
@@ -76,7 +76,7 @@ def test_currents_written_back():
     # consistency with a direct functional evaluation at the final state
     import jax.numpy as jnp
 
-    cur = model.currents(1e-4, mm2.states[0], mm2.params[0])
+    cur = model.currents(1e-4, mm2.states[:, 0], mm2.params[:, 0])
     assert np.isclose(float(cur["I_ch_Na"]), i_na[0])
 
 

@@ -53,9 +53,10 @@ def run_resolution(resolution, dt=1e-10, n_steps=2):
     S.setup_FEM_spaces()
     state = S.solve_system_passive(n_steps * dt, 0.0, sp)
 
-    c = np.asarray(state["c"])
-    c_elim = np.asarray(state["c_elim"])
-    phi = np.asarray(state["phi"])
+    # device fields are cells-last; host norms use (nc, nd)
+    c = np.asarray(state["c"]).transpose(0, 2, 1)
+    c_elim = np.asarray(state["c_elim"]).T
+    phi = np.asarray(state["phi"]).T
 
     errs = {}
     for k, (name, field) in enumerate(

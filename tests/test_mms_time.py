@@ -47,9 +47,9 @@ def run_dt(mesh, dt):
     T = float(state["t"])
     assert abs(T - TSTOP) < 1e-12
 
-    c = np.asarray(state["c"])
-    c_elim = np.asarray(state["c_elim"])
-    phi = np.asarray(state["phi"])
+    c = np.asarray(state["c"]).transpose(0, 2, 1)
+    c_elim = np.asarray(state["c_elim"]).T
+    phi = np.asarray(state["phi"]).T
     errs = {}
     for k, (name, field) in enumerate([("a", c[0]), ("b", c[1]), ("c", c_elim)]):
         e2 = sum(

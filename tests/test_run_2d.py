@@ -47,7 +47,7 @@ def test_run_2d_short():
     # tolerances (warm starts)
     assert all(n < 1000 for n in S.stats.emi_niters)
     # mass conservation: total K content drift is small over 1 ms
-    total_K = integral(S.mesh, np.asarray(state["c"][0]))
+    total_K = integral(S.mesh, np.asarray(state["c"][0]).T)
     S2 = build_solver(resolution=0)
-    total_K0 = integral(S2.mesh, np.asarray(S2.c_init[0]))
+    total_K0 = integral(S2.mesh, np.asarray(S2.c_init[0]).T)
     assert abs(total_K - total_K0) / abs(total_K0) < 5e-2
