@@ -36,7 +36,7 @@ from .ops import assembly
 from .ops.spmv import bell_matvec, block_jacobi_apply, block_jacobi_inverse
 from .solvers.krylov import gmres, pcg
 from .solvers import direct as direct_solvers
-from .solvers.twolevel import aggregate_ids_graph, make_two_level
+from .solvers.twolevel import aggregate_ids_graph, compartment_ids, make_two_level
 from .membrane.engine import MembraneState, make_membrane, ode_step, set_param, get_param
 from .utils.stats import SolverStats, bcolors
 
@@ -555,13 +555,22 @@ class Solver:
                 agg = aggregate_ids_graph(self.mesh, sp_.agg_size)
                 self._agg = jnp.asarray(agg, dtype=jnp.int32)
                 self._n_agg = int(agg.max()) + 1
+                comp = compartment_ids(self.mesh)
+                self._comp = jnp.asarray(comp, dtype=jnp.int32)
+                self._n_comp = int(comp.max()) + 1
             mv = (
                 (lambda v: bell_matvec(blocks, self.g["nbr"], v))
                 if sp_.precond == "two_level_mult" else None
             )
+            # EMI (sym): mass-regularized aggregate coarse + exact
+            # compartment deflation; KNP: plain aggregate coarse
+            extra = (P_diag - blocks[0]) if sym else None
             return make_two_level(
                 blocks, P_diag, self.g["nbr"], self._agg, self._n_agg,
-                sym=sym, matvec=mv, nullspace_rank1=sym,
+                sym=sym, matvec=mv,
+                comp=self._comp if sym else None,
+                n_comp=self._n_comp if sym else None,
+                extra_diag=extra,
             )
         Pinv = block_jacobi_inverse(P_diag)
         return lambda r: block_jacobi_apply(Pinv, r)

@@ -104,6 +104,24 @@ def aggregate_ids_graph(mesh, agg_size: int) -> np.ndarray:
     return agg
 
 
+def compartment_ids(mesh) -> np.ndarray:
+    """Connected components of the same-subdomain-tag cell graph: one id per
+    enclosed compartment (each ICS cell body, plus the ECS).  These are the
+    exact near-null 'membrane jump' modes of the EMI operator."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csgraph
+
+    nc = mesh.num_cells
+    tags = mesh.cell_tags
+    cp, cm = mesh.if_cells[:, 0], mesh.if_cells[:, 1]
+    same = tags[cp] == tags[cm]
+    A = sp.coo_matrix(
+        (np.ones(same.sum()), (cp[same], cm[same])), shape=(nc, nc)
+    )
+    n_comp, labels = csgraph.connected_components(A, directed=False)
+    return labels.astype(np.int64)
+
+
 def coarse_matrix(blocks, nbr, agg, n_agg):
     """A_c[a,b] = sum over cell rows in a, neighbor cols in b of block sums.
 
@@ -115,53 +133,81 @@ def coarse_matrix(blocks, nbr, agg, n_agg):
     return Ac.at[rows.ravel(), cols.ravel()].add(v.ravel())
 
 
+def _dense_spd_inverse(Ac, rank1: bool = False):
+    """Equilibrated explicit inverse of a (near-)SPD dense matrix.
+
+    Symmetric diagonal scaling brings the pivots to O(1) so the f32
+    Cholesky on TPU doesn't break down on badly scaled coarse operators;
+    with `rank1`, the (exactly singular) global-constant direction is
+    shifted by a rank-one O(1) term after scaling.  Returns apply(rc)."""
+    d = jnp.diagonal(Ac)
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30 * jnp.max(d)))
+    As = Ac * s[:, None] * s[None, :]
+    if rank1:
+        n = Ac.shape[0]
+        As = As + (1.0 / n) * jnp.ones_like(As)
+    fac = jax.scipy.linalg.cho_factor(As)
+    inv = jax.scipy.linalg.cho_solve(fac, jnp.eye(As.shape[0], dtype=As.dtype))
+    # explicit inverse (one GEMV per apply; triangular solves are sequential
+    # and slow per Krylov iteration on TPU)
+    Ainv = inv * s[:, None] * s[None, :]
+    return lambda rc: Ainv @ rc
+
+
 def make_two_level(blocks, P_diag, nbr, agg, n_agg, sym: bool = True,
                    matvec: Callable | None = None, omega: float = 2.0 / 3.0,
-                   nullspace_rank1: bool = False) -> Callable:
-    """Build the preconditioner apply function for one assembled operator.
+                   comp=None, n_comp: int | None = None,
+                   extra_diag=None) -> Callable:
+    """Build the preconditioner apply for one assembled operator.
 
-    P_diag: (nc, nd, nd) diagonal blocks for the block-Jacobi smoother;
-    blocks: the operator itself.  `sym=False` uses a symmetrized coarse
-    operator (the upwinded KNP case).  With `matvec` given, applies a
-    symmetric multiplicative V-cycle (damped-BJ pre/post smoothing around
-    the coarse correction); otherwise the additive combination.
+    Additive combination of three SPD pieces:
+      * block-Jacobi smoother from `P_diag` (nd, nd, nc) -- high frequency;
+      * aggregate coarse solve (piecewise constants per BFS aggregate,
+        `extra_diag` (nd, nd, nc) adds the B-operator mass regularization
+        for the singular EMI case) -- bulk low frequency;
+      * exact *compartment deflation* (`comp`/`n_comp`: connected components
+        of the same-subdomain cell graph): the per-compartment constant
+        modes have eigenvalues ~ C_phi * membrane area, orders of magnitude
+        below the bulk spectrum; solving their Galerkin system exactly (a
+        tiny uniform-scale matrix, f32-safe) is what replaces BoomerAMG's
+        strength-based coarsening for the EMI operator.
 
-    `nullspace_rank1` (the singular EMI operator): the coarse matrix is
-    regularized ONLY in its exact null direction (the global constant) by a
-    rank-one shift s * 1 1^T.  Crucially, no broader mass shift is added:
-    the per-compartment membrane-jump eigenvalues (~ C_phi * membrane area)
-    are orders of magnitude below the bulk spectrum, and any blanket
-    regularization larger than them would make the coarse solve blind to
-    exactly the modes this preconditioner exists to fix.
+    `sym=False` symmetrizes the coarse operators (upwinded KNP).  With
+    `matvec`, wraps the corrections in a symmetric V-cycle instead.
 
     Layout: blocks (K, nd, nd, nc); residuals (nd, nc).
     """
     Pinv = block_jacobi_inverse(P_diag)
     Ac = coarse_matrix(blocks, nbr, agg, n_agg)
+    if extra_diag is not None:
+        Ac = Ac.at[agg, agg].add(extra_diag.sum(axis=(0, 1)))
     if not sym:
-        # upwind drift makes Ac slightly nonsymmetric; symmetrize so the
-        # Cholesky coarse solve (the TPU-friendly factorization) applies
         Ac = 0.5 * (Ac + Ac.T)
-    if nullspace_rank1:
-        s = jnp.mean(jnp.diagonal(Ac))
-        Ac = Ac + (s / n_agg) * jnp.ones_like(Ac)
-    # Explicit inverse via Cholesky, computed once per assembly: triangular
-    # solves are sequential (slow per Krylov iteration on TPU); a dense
-    # n_agg x n_agg GEMV per apply keeps the coarse correction on the MXU.
-    fac = jax.scipy.linalg.cho_factor(Ac)
-    Acinv = jax.scipy.linalg.cho_solve(fac, jnp.eye(Ac.shape[0], dtype=Ac.dtype))
-    solve = lambda rc: Acinv @ rc
+    solve = _dense_spd_inverse(Ac, rank1=extra_diag is None)
+
+    solve_comp = None
+    if comp is not None:
+        Acomp = coarse_matrix(blocks, nbr, comp, n_comp)
+        if not sym:
+            Acomp = 0.5 * (Acomp + Acomp.T)
+        solve_comp = _dense_spd_inverse(Acomp, rank1=True)
+
     nd = blocks.shape[1]
     nc = blocks.shape[3]
 
+    def _project(r, ids, n_ids, solver_fn):
+        rc = jax.ops.segment_sum(r.sum(axis=0), ids, num_segments=n_ids)
+        zc = solver_fn(rc)
+        return jnp.broadcast_to(zc[ids][None, :], (nd, nc))
+
     def coarse(r):
-        # restrict: sum all dofs per aggregate; prolong: broadcast
-        rc = jax.ops.segment_sum(r.sum(axis=0), agg, num_segments=n_agg)
-        zc = solve(rc)
-        return jnp.broadcast_to(zc[agg][None, :], (nd, nc))
+        z = _project(r, agg, n_agg, solve)
+        if solve_comp is not None:
+            z = z + _project(r, comp, n_comp, solve_comp)
+        return z
 
     if matvec is None:
-        def apply(r):                      # additive: BJ + coarse
+        def apply(r):                      # additive: BJ + coarse (+ comp)
             return block_jacobi_apply(Pinv, r) + coarse(r)
         return apply
 
