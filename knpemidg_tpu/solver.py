@@ -346,12 +346,23 @@ class Solver:
                 )
                 knp_iters.append(jnp.int32(0))
             else:
+                # mixed-precision refinement: in f32 the computed residual
+                # floors near rtol 1e-5; one f64 residual per restart cycle
+                # recovers the reference's tight KNP tolerances (needs
+                # jax_enable_x64; inner Krylov work stays f32)
+                mv_hi = None
+                if self.dtype == jnp.float32 and jax.config.jax_enable_x64:
+                    b64 = blocks.astype(jnp.float64)
+                    mv_hi = lambda v: bell_matvec(
+                        b64, self.g["nbr"], v.astype(jnp.float64)
+                    )
                 res = gmres(
                     lambda v: bell_matvec(blocks, self.g["nbr"], v),
                     rhs, c[k],
                     self._make_precond(blocks, blocks[0], sp_, sym=False),
                     rtol=sp_.rtol_knp, atol=sp_.atol_knp,
                     max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
+                    matvec_hi=mv_hi,
                 )
                 ck = res.x
                 knp_iters.append(res.iters)

@@ -98,6 +98,7 @@ def gmres(
     atol: float,
     max_it: int,
     restart: int = 20,
+    matvec_hi: Optional[Callable] = None,
 ) -> KrylovResult:
     """Right-preconditioned restarted GMRES(m) with modified Gram-Schmidt.
 
@@ -105,6 +106,12 @@ def gmres(
     residual of A x = b.  Each restart cycle runs the full `restart` Arnoldi
     steps (converged systems are detected between cycles), which keeps the
     loop structure static for XLA/vmap.
+
+    `matvec_hi`: optional higher-precision matvec used only for the
+    once-per-cycle residual computation (mixed-precision iterative
+    refinement) -- in f32 the computed residual floors at ~eps * ||A|| *
+    ||x|| just above the production rtol; one f64 residual per restart
+    breaks through that floor while all Krylov work stays f32.
     """
     shape = b.shape
     n = b.size
@@ -113,13 +120,20 @@ def gmres(
     def Aop(v):
         return matvec(precond(v.reshape(shape))).ravel()
 
+    if matvec_hi is None:
+        res_hi = lambda x: bv - matvec(x.reshape(shape)).ravel()
+    else:
+        def res_hi(x):
+            r = matvec_hi(x.reshape(shape))
+            return (bv.astype(r.dtype) - r.ravel()).astype(b.dtype)
+
     bnorm = jnp.sqrt(_dot(bv, bv))
     tol = jnp.maximum(rtol * bnorm, atol)
     max_cycles = -(-max_it // restart)
     m = restart
 
     def cycle(x):
-        r = bv - matvec(x.reshape(shape)).ravel()
+        r = res_hi(x)
         beta = jnp.sqrt(_dot(r, r))
         safe = jnp.where(beta > 0, beta, 1.0)
         V = jnp.zeros((m + 1, n), dtype=b.dtype).at[0].set(r / safe)
@@ -153,7 +167,7 @@ def gmres(
 
     def cond(state):
         x, k = state
-        r = bv - matvec(x.reshape(shape)).ravel()
+        r = res_hi(x)
         return (jnp.sqrt(_dot(r, r)) > tol) & (k < max_cycles)
 
     def body(state):
@@ -161,7 +175,7 @@ def gmres(
         return (cycle(x), k + 1)
 
     x, k = jax.lax.while_loop(cond, body, (x0.ravel(), jnp.int32(0)))
-    r = bv - matvec(x.reshape(shape)).ravel()
+    r = res_hi(x)
     rn = jnp.sqrt(_dot(r, r))
     return KrylovResult(
         x=x.reshape(shape), iters=k * m, resnorm=rn, converged=rn <= tol

@@ -187,7 +187,24 @@ def make_two_level(blocks, P_diag, nbr, agg, n_agg, sym: bool = True,
 
     solve_comp = None
     if comp is not None:
-        Acomp = coarse_matrix(blocks, nbr, comp, n_comp)
+        # Build the compartment Galerkin matrix ONLY from compartment-
+        # crossing (membrane) block entries.  The naive R^T A R sums O(1)
+        # bulk entries that cancel exactly to the tiny membrane scale --
+        # catastrophic in f32.  Since A annihilates the global constant,
+        # each row's within-compartment sum equals minus its crossing sum,
+        # so the diagonal follows from exact row-sum-zero.
+        v = blocks.sum(axis=(1, 2))                  # (K, nc)
+        crossing = comp[nbr] != comp[None, :]
+        vm = jnp.where(crossing, v, 0.0)
+        rows = jnp.broadcast_to(comp[None, :], vm.shape)
+        Acomp = jnp.zeros((n_comp, n_comp), dtype=blocks.dtype)
+        Acomp = Acomp.at[rows.ravel(), comp[nbr].ravel()].add(vm.ravel())
+        offdiag_rowsum = jax.ops.segment_sum(
+            vm.sum(axis=0), comp, num_segments=n_comp
+        )
+        Acomp = Acomp.at[jnp.arange(n_comp), jnp.arange(n_comp)].add(
+            -offdiag_rowsum
+        )
         if not sym:
             Acomp = 0.5 * (Acomp + Acomp.T)
         solve_comp = _dense_spd_inverse(Acomp, rank1=True)
