@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Figures for the astrocyte-tortuosity run (reference: local-astrocyte-
+depolarization/make_figures.py): ECS potassium spread around the ROI,
+glial membrane depolarization, line profiles through the injection site."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from knpemidg_tpu.postprocess import Results, write_vtu
+
+
+def main(fname="results/data/astro-tortuosity/",
+         out="results/figures/astro-tortuosity/",
+         roi_center=(2900e-7, 1900e-7, 2000e-7)):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out, exist_ok=True)
+    res = Results(fname + "results.h5")
+    roi_center = np.asarray(roi_center)
+
+    # glial membrane facet nearest the ROI (tag 2) + a distant one
+    s_near = res.membrane_series(roi_center, tags=[2])
+    ext = res.mesh.vertices.max(axis=0)
+    s_far = res.membrane_series(ext * 0.1, tags=[2])
+
+    fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+    axes[0].plot(s_near["t"], s_near["phi_M"], label="glia near ROI")
+    axes[0].plot(s_far["t"], s_far["phi_M"], label="glia far")
+    axes[0].set_xlabel("t (ms)")
+    axes[0].set_ylabel("$\\phi_M$ (mV)")
+    axes[0].legend(fontsize=8)
+
+    axes[1].plot(s_near["t"], s_near["c_e"][:, 0], label="[K]$_e$ near")
+    axes[1].plot(s_far["t"], s_far["c_e"][:, 0], label="[K]$_e$ far")
+    axes[1].set_xlabel("t (ms)")
+    axes[1].set_ylabel("c (mM)")
+    axes[1].legend(fontsize=8)
+
+    # K profile through the ROI at the final frame
+    fr = res.frame(res.n_frames - 1)
+    lo = roi_center.copy()
+    hi = roi_center.copy()
+    lo[0], hi[0] = 0.0, res.mesh.vertices[:, 0].max()
+    pts, kvals = res.sample_line(fr["c"][0], lo, hi)
+    axes[2].plot(pts[:, 0] * 1e7, kvals)
+    axes[2].set_xlabel("x (nm)")
+    axes[2].set_ylabel("[K] (mM)")
+    fig.tight_layout()
+    fig.savefig(out + "summary.svg")
+
+    write_vtu(out + "final.vtk", res.mesh,
+              {"phi": fr["phi"], "K": fr["c"][0], "Na": fr["c"][1]})
+    res.close()
+    print(f"figures written to {out}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
