@@ -318,14 +318,18 @@ class Solver:
             )
             stats["emi_iters"] = jnp.int32(0)
         else:
+            # increment form: solve A d = b - A phi_0 around zero -- the f32
+            # residual floor scales with ||d|| instead of ||phi||, while the
+            # tolerance stays relative to the full rhs (b_ref)
+            mv = lambda v: bell_matvec(blocks, self.g["nbr"], v)
+            r0 = rhs - mv(phi)
             res = pcg(
-                lambda v: bell_matvec(blocks, self.g["nbr"], v),
-                rhs, phi,
+                mv, r0, jnp.zeros_like(phi),
                 self._make_precond(blocks, Pd, sp_, sym=True),
                 rtol=sp_.rtol_emi, atol=sp_.atol_emi, max_it=sp_.max_it_emi,
-                project_nullspace=True,
+                project_nullspace=True, b_ref=rhs,
             )
-            phi_new = res.x
+            phi_new = phi + res.x
             stats["emi_iters"] = res.iters
         phi = phi_new
 
@@ -346,25 +350,20 @@ class Solver:
                 )
                 knp_iters.append(jnp.int32(0))
             else:
-                # mixed-precision refinement: in f32 the computed residual
-                # floors near rtol 1e-5; one f64 residual per restart cycle
-                # recovers the reference's tight KNP tolerances (needs
-                # jax_enable_x64; inner Krylov work stays f32)
-                mv_hi = None
-                if self.dtype == jnp.float32 and jax.config.jax_enable_x64:
-                    b64 = blocks.astype(jnp.float64)
-                    mv_hi = lambda v: bell_matvec(
-                        b64, self.g["nbr"], v.astype(jnp.float64)
-                    )
+                # increment form (see EMI above): the KNP solution has
+                # ||c|| ~ 100 mM but per-step changes ~1e-2 mM, so solving
+                # for the increment pushes the f32 residual floor ~4 orders
+                # below the reference's rtol_knp = 1e-7 target
+                mv = lambda v: bell_matvec(blocks, self.g["nbr"], v)
+                r0 = rhs - mv(c[k])
                 res = gmres(
-                    lambda v: bell_matvec(blocks, self.g["nbr"], v),
-                    rhs, c[k],
+                    mv, r0, jnp.zeros_like(r0),
                     self._make_precond(blocks, blocks[0], sp_, sym=False),
                     rtol=sp_.rtol_knp, atol=sp_.atol_knp,
                     max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
-                    matvec_hi=mv_hi,
+                    b_ref=rhs,
                 )
-                ck = res.x
+                ck = c[k] + res.x
                 knp_iters.append(res.iters)
             new_c.append(ck)
         c = jnp.stack(new_c)

@@ -42,14 +42,15 @@ class SolverEMI(Solver):
             )
             stats["emi_iters"] = jnp.int32(0)
         else:
+            mv = lambda v: bell_matvec(blocks, self.g["nbr"], v)
+            r0 = rhs - mv(phi)
             res = pcg(
-                lambda v: bell_matvec(blocks, self.g["nbr"], v),
-                rhs, phi,
+                mv, r0, jnp.zeros_like(phi),
                 self._make_precond(blocks, Pd, sp_, sym=True),
                 rtol=sp_.rtol_emi, atol=sp_.atol_emi, max_it=sp_.max_it_emi,
-                project_nullspace=True,
+                project_nullspace=True, b_ref=rhs,
             )
-            phi = res.x
+            phi = phi + res.x
             stats["emi_iters"] = res.iters
         stats["knp_iters"] = jnp.zeros(self.N_ions, dtype=jnp.int32)
 

@@ -43,8 +43,14 @@ def pcg(
     atol: float,
     max_it: int,
     project_nullspace: bool = False,
+    b_ref: Optional[jnp.ndarray] = None,
 ) -> KrylovResult:
     """Preconditioned conjugate gradients.
+
+    ``b_ref``: optional vector whose (preconditioned) norm anchors the
+    relative tolerance instead of ``b`` -- used by the increment-form solves
+    where ``b`` is the initial residual but the tolerance must stay relative
+    to the full right-hand side (PETSc semantics with nonzero guess).
 
     Convergence is tested in the *preconditioned* residual norm
     ``||M^-1 r||_2`` relative to ``||M^-1 b||_2`` -- the PETSc KSPCG default
@@ -64,7 +70,7 @@ def pcg(
     z = precond(r)
     p = z
     rz = _dot(r, z)
-    bz = precond(b)
+    bz = precond(b if b_ref is None else b_ref)
     bnorm = jnp.sqrt(_dot(bz, bz))
     tol = jnp.maximum(rtol * bnorm, atol)
 
@@ -99,6 +105,7 @@ def gmres(
     max_it: int,
     restart: int = 20,
     matvec_hi: Optional[Callable] = None,
+    b_ref: Optional[jnp.ndarray] = None,
 ) -> KrylovResult:
     """Right-preconditioned restarted GMRES(m) with modified Gram-Schmidt.
 
@@ -127,7 +134,8 @@ def gmres(
             r = matvec_hi(x.reshape(shape))
             return (bv.astype(r.dtype) - r.ravel()).astype(b.dtype)
 
-    bnorm = jnp.sqrt(_dot(bv, bv))
+    bref = bv if b_ref is None else b_ref.ravel()
+    bnorm = jnp.sqrt(_dot(bref, bref))
     tol = jnp.maximum(rtol * bnorm, atol)
     max_cycles = -(-max_it // restart)
     m = restart
