@@ -334,6 +334,16 @@ class Solver:
         phi = phi_new
 
         # ---- step II: KNP per solved ion ---------------------------------
+        if self.mms is None and not sp_.direct_knp:
+            # production path: ions are independent identical-structure
+            # solves -- vmap them (halves program size vs unrolling, and
+            # batches the Krylov matvecs on device)
+            c, knp_iters_arr = self._knp_solve_vmapped(
+                c, c_elim, phi, phi_M_pad, I_ch_pad, I_ch_tot_pad, t, c_n, sp_
+            )
+            stats["knp_iters"] = knp_iters_arr
+            return self._finalize_step(state, stats, c, phi, advance_time, t)
+
         new_c = []
         knp_iters = []
         for k in range(self.N_ions):
@@ -368,18 +378,68 @@ class Solver:
             new_c.append(ck)
         c = jnp.stack(new_c)
         stats["knp_iters"] = jnp.stack(knp_iters)
+        return self._finalize_step(state, stats, c, phi, advance_time, t)
 
-        # ---- updates (solver.py:808-845) ---------------------------------
+    def _finalize_step(self, state, stats, c, phi, advance_time, t):
+        """Post-solve updates (solver.py:808-845)."""
         phi_M = assembly.jump_phi_M(self.g, self.mem_dev["fidx"], phi)
         c_elim = assembly.eliminated_concentration(
             c, self.z[:-1], self.rho, float(self.ion_list[-1].z)
         )
         if advance_time:
             t = t + self.params.dt
-
         new_state = dict(state)
         new_state.update(c=c, c_elim=c_elim, phi=phi, phi_M=phi_M, t=t)
         return new_state, stats
+
+    def _knp_solve_vmapped(self, c, c_elim, phi, phi_M_pad, I_ch_pad,
+                           I_ch_tot_pad, t, c_n, sp_: SolverParams):
+        """Assemble + GMRES for all solved ions under one vmap."""
+        call = self._all_c(c, c_elim)
+        alpha_sum = jnp.einsum("k,kc,kic->ic", self.z**2, self.D, call)
+        statics = jnp.stack([self._knp_static(k) for k in range(self.N_ions)])
+
+        # f_source contributions (per-ion callables) outside the vmap
+        g = self.g
+        src_rows = []
+        for k in range(self.N_ions):
+            ion = self.ion_list[k]
+            if callable(ion.f_source):
+                fq = ion.f_source(g["cell_qp"], t)
+                ecs = (g["cell_tag"] == 0)[None, :]
+                src_rows.append(g["vol"] * jnp.einsum(
+                    "q,qc,qi->ic", g["w_c"], fq * ecs, g["Phi_c"]
+                ))
+            else:
+                src_rows.append(jnp.zeros_like(phi))
+        srcs = jnp.stack(src_rows)
+
+        phys = self._phys_knp()
+
+        def solve_one(z, D, c_k, c_nk, I_ch_k, static_blocks, src):
+            iond = {"z": z, "D": D, "c_n": c_nk, "c_k": c_k}
+            blocks, rhs = assembly.assemble_knp(
+                g, self.masks, iond, phys, phi, alpha_sum,
+                phi_M=phi_M_pad, I_ch_k=I_ch_k, I_ch_tot=I_ch_tot_pad,
+                f_source=None, splitting=self.splitting_scheme,
+                static_blocks=static_blocks,
+            )
+            rhs = rhs + src
+            mv = lambda v: bell_matvec(blocks, g["nbr"], v)
+            r0 = rhs - mv(c_k)
+            res = gmres(
+                mv, r0, jnp.zeros_like(r0),
+                self._make_precond(blocks, blocks[0], sp_, sym=False),
+                rtol=sp_.rtol_knp, atol=sp_.atol_knp,
+                max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
+                b_ref=rhs,
+            )
+            return c_k + res.x, res.iters
+
+        new_c, iters = jax.vmap(solve_one)(
+            self.z[:-1], self.D[:-1], c, c_n, I_ch_pad[:-1], statics, srcs
+        )
+        return new_c, iters
 
     # ------------------------------------------------------------------
     # Picard iteration (solver.py:850-927)
