@@ -77,25 +77,41 @@ def sodium_potassium_pump_michaelis(I_max, m_K, K_e, m_Na, Na_i):
     )
 
 
+def vtrap(x, y):
+    """x / (1 - exp(-x/y)) with the removable singularity at x = 0 handled.
+
+    The classic HH alpha_m/alpha_n rates are singular where V crosses
+    exactly -40/-55 mV; in f32 with tens of thousands of membrane points
+    riding an AP upstroke that 0/0 *does* get hit (the f64 LSODA reference
+    never sees it), and a single NaN state poisons every subsequent solve.
+    Near zero we use the series y * (1 + u/2 + u^2/12), u = x/y."""
+    u = x / y
+    small = jnp.abs(u) < 1e-4
+    safe = jnp.where(small, 1.0, u)
+    return jnp.where(
+        small, y * (1.0 + u / 2.0 + u * u / 12.0), x / (1.0 - jnp.exp(-safe))
+    )
+
+
 def hh_gating_rates_mV(V):
     """Classic HH 1952 rate functions, V in mV, rates in 1/ms."""
-    am = 0.1 * (V + 40.0) / (1.0 - jnp.exp(-(V + 40.0) / 10.0))
+    am = 0.1 * vtrap(V + 40.0, 10.0)
     bm = 4.0 * jnp.exp(-(V + 65.0) / 18.0)
     ah = 0.07 * jnp.exp(-(V + 65.0) / 20.0)
     bh = 1.0 / (1.0 + jnp.exp(-(V + 35.0) / 10.0))
-    an = 0.01 * (V + 55.0) / (1.0 - jnp.exp(-(V + 55.0) / 10.0))
+    an = 0.01 * vtrap(V + 55.0, 10.0)
     bn = 0.125 * jnp.exp(-(V + 65.0) / 80.0)
     return am, bm, ah, bh, an, bn
 
 
 def hh_gating_rates_SI(V):
     """Same rates with V in volts, rates in 1/s (mm_hh.py:126-137 uses the
-    equivalent shifted form)."""
+    equivalent shifted form; x/(exp(x/y)-1) == vtrap(-x, y))."""
     v = V * 1e3  # mV
-    am = 0.1e3 * (25.0 - (v + 65.0)) / (jnp.exp((25.0 - (v + 65.0)) / 10.0) - 1.0)
+    am = 0.1e3 * vtrap(v + 40.0, 10.0)
     bm = 4.0e3 * jnp.exp(-(v + 65.0) / 18.0)
     ah = 0.07e3 * jnp.exp(-(v + 65.0) / 20.0)
     bh = 1.0e3 / (jnp.exp((30.0 - (v + 65.0)) / 10.0) + 1.0)
-    an = 0.01e3 * (10.0 - (v + 65.0)) / (jnp.exp((10.0 - (v + 65.0)) / 10.0) - 1.0)
+    an = 0.01e3 * vtrap(v + 55.0, 10.0)
     bn = 0.125e3 * jnp.exp(-(v + 65.0) / 80.0)
     return am, bm, ah, bh, an, bn
