@@ -251,6 +251,21 @@ class MembraneTables:
         }
 
 
+def cell_center_distance(mesh: Mesh):
+    """Per-facet cell-center distances (reference CellCenterDistance,
+    utils.py:126-164): for interior facets the distance between the two
+    adjacent cell midpoints; for exterior facets midpoint-to-facet-center.
+    Returns (interior (nf,), exterior (ne,))."""
+    cmid = mesh.cell_midpoints()
+    fmid_i = mesh.facet_midpoints(interior=True)
+    fmid_e = mesh.facet_midpoints(interior=False)
+    d_int = np.linalg.norm(
+        cmid[mesh.if_cells[:, 0]] - cmid[mesh.if_cells[:, 1]], axis=1
+    )
+    d_ext = np.linalg.norm(cmid[mesh.ef_cells] - fmid_e, axis=1)
+    return d_int, d_ext
+
+
 def build_membrane_tables(mesh: Mesh, tags: Sequence[int]) -> MembraneTables:
     nf = mesh.num_interior_facets
     fidx_parts = []
