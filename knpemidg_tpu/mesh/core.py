@@ -91,6 +91,27 @@ class Mesh:
         return float(hmax.min())
 
 
+def reorder_cells(mesh: "Mesh", perm: np.ndarray) -> "Mesh":
+    """Renumber cells by permutation `perm` (new_index -> old_index),
+    remapping every cell-referencing table consistently.  Facet identities,
+    tags and orientations are unchanged."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return Mesh(
+        vertices=mesh.vertices,
+        cells=mesh.cells[perm],
+        cell_tags=mesh.cell_tags[perm],
+        if_verts=mesh.if_verts,
+        if_cells=inv[mesh.if_cells],
+        if_tags=mesh.if_tags,
+        ef_verts=mesh.ef_verts,
+        ef_cells=inv[mesh.ef_cells],
+        ef_tags=mesh.ef_tags,
+        cf_idx=mesh.cf_idx[perm],
+        cf_is_plus=mesh.cf_is_plus[perm],
+    )
+
+
 SurfaceTagSpec = Union[None, np.ndarray, Dict[tuple, int], Callable[[np.ndarray], np.ndarray]]
 
 
@@ -219,7 +240,7 @@ def build_mesh(
         cf_idx[oc, ol] = fid_arr
         cf_is_plus[oc, ol] = oc == cp[fid_arr]
 
-    return Mesh(
+    mesh = Mesh(
         vertices=vertices,
         cells=cells,
         cell_tags=cell_tags,
@@ -232,3 +253,26 @@ def build_mesh(
         cf_idx=cf_idx,
         cf_is_plus=cf_is_plus,
     )
+    if reorder == "morton":
+        # secondary sort by connected compartment (stable, preserves Morton
+        # within compartments): contiguous cell chunks then never straddle a
+        # membrane, which the two-level preconditioner exploits to keep its
+        # coarse restrict/prolong gather-free (solvers/twolevel.py)
+        comp = _compartments(mesh)
+        mesh = reorder_cells(mesh, np.argsort(comp, kind="stable"))
+    return mesh
+
+
+def _compartments(mesh: "Mesh") -> np.ndarray:
+    """Connected components of the same-subdomain-tag cell graph."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csgraph
+
+    cp, cm = mesh.if_cells[:, 0], mesh.if_cells[:, 1]
+    same = mesh.cell_tags[cp] == mesh.cell_tags[cm]
+    A = sp.coo_matrix(
+        (np.ones(int(same.sum())), (cp[same], cm[same])),
+        shape=(mesh.num_cells, mesh.num_cells),
+    )
+    _, labels = csgraph.connected_components(A, directed=False)
+    return labels.astype(np.int64)

@@ -15,9 +15,14 @@ import jax.numpy as jnp
 
 
 def bell_matvec(blocks: jnp.ndarray, nbr: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """y[i,c] = sum_{k,j} blocks[k,i,j,c] * x[j, nbr[k,c]];  x, y: (nd, nc)."""
-    xg = x[:, nbr]                                 # (nd, K, nc)
-    return jnp.einsum("kijc,jkc->ic", blocks, xg)
+    """y[i,c] = sum_{k,j} blocks[k,i,j,c] * x[j, nbr[k,c]];  x, y: (nd, nc).
+
+    Slot 0 is the diagonal (nbr[0] = identity), so only the K-1 off-diagonal
+    slots pay for a gather -- TPU random gather is the single most expensive
+    operation in the Krylov loop."""
+    y = jnp.einsum("ijc,jc->ic", blocks[0], x)
+    xg = x.at[:, nbr[1:]].get(mode="promise_in_bounds")     # (nd, K-1, nc)
+    return y + jnp.einsum("kijc,jkc->ic", blocks[1:], xg)
 
 
 def block_jacobi_inverse(diag_blocks: jnp.ndarray) -> jnp.ndarray:

@@ -36,7 +36,7 @@ from .ops import assembly
 from .ops.spmv import bell_matvec, block_jacobi_apply, block_jacobi_inverse
 from .solvers.krylov import gmres, pcg
 from .solvers import direct as direct_solvers
-from .solvers.twolevel import aggregate_ids_graph, compartment_ids, make_two_level
+from .solvers.twolevel import compartment_ids, make_two_level
 from .membrane.engine import MembraneState, make_membrane, ode_step, set_param, get_param
 from .utils.stats import SolverStats, bcolors
 
@@ -101,7 +101,13 @@ class Solver:
     # ------------------------------------------------------------------
     def setup_domain(self, mesh: Mesh, quad_degree: Optional[int] = None):
         """Build geometry tables; penalty tau = 20 * gdim * degree
-        (solver.py:110-111)."""
+        (solver.py:110-111).
+
+        Cell numbering: build_mesh orders cells by (compartment, Morton), so
+        the preconditioner's contiguous coarse chunks never mix compartments
+        (reshape-based restrict/prolong stays gather-free; see
+        solvers/twolevel.py)."""
+        self._comp_np = compartment_ids(mesh)
         self.mesh = mesh
         qd = quad_degree or 4
         self.geom = build_geometry(mesh, quad_degree_cell=qd, quad_degree_facet=qd)
@@ -621,13 +627,14 @@ class Solver:
         (singular) EMI operator, which also gets the rank-one nullspace
         regularization of the coarse matrix."""
         if sp_.precond.startswith("two_level"):
-            if not hasattr(self, "_agg"):
-                agg = aggregate_ids_graph(self.mesh, sp_.agg_size)
-                self._agg = jnp.asarray(agg, dtype=jnp.int32)
-                self._n_agg = int(agg.max()) + 1
-                comp = compartment_ids(self.mesh)
-                self._comp = jnp.asarray(comp, dtype=jnp.int32)
-                self._n_comp = int(comp.max()) + 1
+            if not hasattr(self, "_comp_onehot"):
+                # host-side compartment indicators (one-hot rows -> the
+                # deflation projection is a skinny MXU matmul, gather-free)
+                comp = self._comp_np
+                oh = np.zeros((int(comp.max()) + 1, self.n_cells))
+                oh[comp, np.arange(self.n_cells)] = 1.0
+                self._comp_onehot = jnp.asarray(oh, dtype=self.dtype)
+                self._comp_ids = jnp.asarray(comp, dtype=jnp.int32)
             mv = (
                 (lambda v: bell_matvec(blocks, self.g["nbr"], v))
                 if sp_.precond == "two_level_mult" else None
@@ -636,10 +643,10 @@ class Solver:
             # compartment deflation; KNP: plain aggregate coarse
             extra = (P_diag - blocks[0]) if sym else None
             return make_two_level(
-                blocks, P_diag, self.g["nbr"], self._agg, self._n_agg,
+                blocks, P_diag, self.g["nbr"], sp_.agg_size,
                 sym=sym, matvec=mv,
-                comp=self._comp if sym else None,
-                n_comp=self._n_comp if sym else None,
+                comp_onehot=self._comp_onehot if sym else None,
+                comp_ids=self._comp_ids if sym else None,
                 extra_diag=extra,
             )
         Pinv = block_jacobi_inverse(P_diag)

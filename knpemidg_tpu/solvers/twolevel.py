@@ -108,18 +108,9 @@ def compartment_ids(mesh) -> np.ndarray:
     """Connected components of the same-subdomain-tag cell graph: one id per
     enclosed compartment (each ICS cell body, plus the ECS).  These are the
     exact near-null 'membrane jump' modes of the EMI operator."""
-    import scipy.sparse as sp
-    import scipy.sparse.csgraph as csgraph
+    from ..mesh.core import _compartments
 
-    nc = mesh.num_cells
-    tags = mesh.cell_tags
-    cp, cm = mesh.if_cells[:, 0], mesh.if_cells[:, 1]
-    same = tags[cp] == tags[cm]
-    A = sp.coo_matrix(
-        (np.ones(same.sum()), (cp[same], cm[same])), shape=(nc, nc)
-    )
-    n_comp, labels = csgraph.connected_components(A, directed=False)
-    return labels.astype(np.int64)
+    return _compartments(mesh)
 
 
 def coarse_matrix(blocks, nbr, agg, n_agg):
@@ -148,29 +139,43 @@ def _dense_spd_inverse(Ac, rank1: bool = False):
         As = As + (1.0 / n) * jnp.ones_like(As)
     fac = jax.scipy.linalg.cho_factor(As)
     inv = jax.scipy.linalg.cho_solve(fac, jnp.eye(As.shape[0], dtype=As.dtype))
-    # explicit inverse (one GEMV per apply; triangular solves are sequential
-    # and slow per Krylov iteration on TPU)
-    Ainv = inv * s[:, None] * s[None, :]
-    return lambda rc: Ainv @ rc
+
+    def apply(rc):
+        # explicit inverse (GEMVs; triangular solves are sequential and slow
+        # per Krylov iteration on TPU) + one refinement sweep in the scaled
+        # space: the f32 explicit inverse of an ill-conditioned coarse
+        # matrix loses several digits, which costs outer Krylov iterations
+        rs = s * rc
+        z = inv @ rs
+        z = z + inv @ (rs - As @ z)
+        return s * z
+
+    return apply
 
 
-def make_two_level(blocks, P_diag, nbr, agg, n_agg, sym: bool = True,
+def make_two_level(blocks, P_diag, nbr, agg_size: int, sym: bool = True,
                    matvec: Callable | None = None, omega: float = 2.0 / 3.0,
-                   comp=None, n_comp: int | None = None,
-                   extra_diag=None) -> Callable:
+                   comp_onehot=None, comp_ids=None, extra_diag=None) -> Callable:
     """Build the preconditioner apply for one assembled operator.
 
     Additive combination of three SPD pieces:
       * block-Jacobi smoother from `P_diag` (nd, nd, nc) -- high frequency;
-      * aggregate coarse solve (piecewise constants per BFS aggregate,
-        `extra_diag` (nd, nd, nc) adds the B-operator mass regularization
+      * aggregate coarse solve over *contiguous fixed-size Morton chunks*
+        (`extra_diag` (nd, nd, nc) adds the B-operator mass regularization
         for the singular EMI case) -- bulk low frequency;
-      * exact *compartment deflation* (`comp`/`n_comp`: connected components
-        of the same-subdomain cell graph): the per-compartment constant
-        modes have eigenvalues ~ C_phi * membrane area, orders of magnitude
-        below the bulk spectrum; solving their Galerkin system exactly (a
-        tiny uniform-scale matrix, f32-safe) is what replaces BoomerAMG's
+      * exact *compartment deflation* (`comp_onehot` (n_comp, nc): indicator
+        matrix of the connected components of the same-subdomain cell
+        graph): the per-compartment constant modes have eigenvalues
+        ~ C_phi * membrane area, orders of magnitude below the bulk
+        spectrum; solving their Galerkin system exactly (a tiny
+        uniform-scale matrix, f32-safe) replaces BoomerAMG's
         strength-based coarsening for the EMI operator.
+
+    THE HOT-PATH RULE: the per-iteration apply contains NO gathers or
+    scatters -- TPU random gather runs ~2 orders of magnitude below HBM
+    bandwidth.  Contiguous chunks make restrict/prolong a reshape-sum /
+    broadcast; the compartment projection is a skinny matmul (MXU).
+    Scatters appear only in the once-per-solve Galerkin coarse assembly.
 
     `sym=False` symmetrizes the coarse operators (upwinded KNP).  With
     `matvec`, wraps the corrections in a symmetric V-cycle instead.
@@ -178,30 +183,46 @@ def make_two_level(blocks, P_diag, nbr, agg, n_agg, sym: bool = True,
     Layout: blocks (K, nd, nd, nc); residuals (nd, nc).
     """
     Pinv = block_jacobi_inverse(P_diag)
-    Ac = coarse_matrix(blocks, nbr, agg, n_agg)
+    nd = blocks.shape[1]
+    nc = blocks.shape[3]
+    n_agg = -(-nc // agg_size)
+    pad = n_agg * agg_size - nc
+    agg = jnp.arange(nc + pad, dtype=jnp.int32) // agg_size
+
+    v = blocks.sum(axis=(1, 2))                     # (K, nc)
+    vp = jnp.pad(v, ((0, 0), (0, pad)))
+    nbr_p = jnp.pad(nbr, ((0, 0), (0, pad)))
+    rows = jnp.broadcast_to(agg[None, :], vp.shape)
+    cols = agg[nbr_p]
+    Ac = jnp.zeros((n_agg, n_agg), dtype=blocks.dtype)
+    Ac = Ac.at[rows.ravel(), cols.ravel()].add(vp.ravel())
     if extra_diag is not None:
-        Ac = Ac.at[agg, agg].add(extra_diag.sum(axis=(0, 1)))
+        ed = jnp.pad(extra_diag.sum(axis=(0, 1)), (0, pad))
+        Ac = Ac.at[agg, agg].add(ed)
+    else:
+        # keep mixed-tag chunks SPD for the singular operator: tiny diagonal
+        # lift well below the coarse spectrum but above f32 noise
+        Ac = Ac + jnp.diag(jnp.full(n_agg, 1e-6 * jnp.max(jnp.diagonal(Ac)),
+                                    dtype=Ac.dtype))
     if not sym:
         Ac = 0.5 * (Ac + Ac.T)
     solve = _dense_spd_inverse(Ac, rank1=extra_diag is None)
 
     solve_comp = None
-    if comp is not None:
-        # Build the compartment Galerkin matrix ONLY from compartment-
-        # crossing (membrane) block entries.  The naive R^T A R sums O(1)
-        # bulk entries that cancel exactly to the tiny membrane scale --
-        # catastrophic in f32.  Since A annihilates the global constant,
-        # each row's within-compartment sum equals minus its crossing sum,
-        # so the diagonal follows from exact row-sum-zero.
-        v = blocks.sum(axis=(1, 2))                  # (K, nc)
-        crossing = comp[nbr] != comp[None, :]
+    if comp_onehot is not None:
+        # Compartment Galerkin matrix from compartment-CROSSING entries only
+        # (the naive R^T A R cancels O(1) bulk sums down to the tiny
+        # membrane scale -- catastrophic in f32); diagonal from exact
+        # row-sum-zero (A annihilates constants).
+        if comp_ids is None:
+            comp_ids = jnp.argmax(comp_onehot, axis=0).astype(jnp.int32)
+        n_comp = comp_onehot.shape[0]
+        crossing = comp_ids[nbr] != comp_ids[None, :]
         vm = jnp.where(crossing, v, 0.0)
-        rows = jnp.broadcast_to(comp[None, :], vm.shape)
+        rowsc = jnp.broadcast_to(comp_ids[None, :], vm.shape)
         Acomp = jnp.zeros((n_comp, n_comp), dtype=blocks.dtype)
-        Acomp = Acomp.at[rows.ravel(), comp[nbr].ravel()].add(vm.ravel())
-        offdiag_rowsum = jax.ops.segment_sum(
-            vm.sum(axis=0), comp, num_segments=n_comp
-        )
+        Acomp = Acomp.at[rowsc.ravel(), comp_ids[nbr].ravel()].add(vm.ravel())
+        offdiag_rowsum = comp_onehot @ vm.sum(axis=0)
         Acomp = Acomp.at[jnp.arange(n_comp), jnp.arange(n_comp)].add(
             -offdiag_rowsum
         )
@@ -209,19 +230,20 @@ def make_two_level(blocks, P_diag, nbr, agg, n_agg, sym: bool = True,
             Acomp = 0.5 * (Acomp + Acomp.T)
         solve_comp = _dense_spd_inverse(Acomp, rank1=True)
 
-    nd = blocks.shape[1]
-    nc = blocks.shape[3]
-
-    def _project(r, ids, n_ids, solver_fn):
-        rc = jax.ops.segment_sum(r.sum(axis=0), ids, num_segments=n_ids)
-        zc = solver_fn(rc)
-        return jnp.broadcast_to(zc[ids][None, :], (nd, nc))
-
     def coarse(r):
-        z = _project(r, agg, n_agg, solve)
+        rs = r.sum(axis=0)                               # (nc,)
+        # contiguous-chunk restrict: reshape-sum (no gather/scatter)
+        rc = jnp.pad(rs, (0, pad)).reshape(n_agg, agg_size).sum(axis=1)
+        zc = solve(rc)
+        z = jnp.broadcast_to(
+            zc[:, None], (n_agg, agg_size)
+        ).reshape(-1)[:nc]
         if solve_comp is not None:
-            z = z + _project(r, comp, n_comp, solve_comp)
-        return z
+            # skinny-matmul projection (MXU), no gather/scatter
+            rcomp = comp_onehot @ rs
+            zcomp = solve_comp(rcomp)
+            z = z + zcomp @ comp_onehot
+        return jnp.broadcast_to(z[None, :], (nd, nc))
 
     if matvec is None:
         def apply(r):                      # additive: BJ + coarse (+ comp)
