@@ -97,6 +97,9 @@ class SolverParams:
     verbose: bool = False
     # preconditioner: 'two_level' (BoomerAMG stand-in) or 'jacobi'
     precond: str = "two_level"
+    # KNP-side preconditioner ('' -> same as precond); the parabolic KNP
+    # system often prefers plain block-Jacobi (no coarse-apply cost)
+    precond_knp: str = ""
     agg_size: int = 64                      # cells per coarse aggregate
 
 

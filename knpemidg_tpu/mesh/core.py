@@ -166,31 +166,42 @@ def build_mesh(
     d = vertices.shape[1]
     assert nvc == d + 1, "simplicial meshes only"
 
-    # --- enumerate all (cell, local facet) pairs --------------------------
-    # local facet i = all vertices except local vertex i
-    loc = np.array([[j for j in range(d + 1) if j != i] for i in range(d + 1)])
-    fv = cells[:, loc]                       # (nc, d+1, d)
-    fv = np.sort(fv, axis=2)
-    flat = fv.reshape(-1, d)                 # (nc*(d+1), d)
-    owner_cell = np.repeat(np.arange(nc), d + 1)
-    owner_loc = np.tile(np.arange(d + 1), nc)
+    native = None
+    from .. import native as _native_mod
+    native = _native_mod.build_facets(cells, d)
+    if native is not None:
+        # C++ facet dedup/pairing (knpemidg_tpu/native/meshkit.cpp)
+        if_verts, if_cells_ab, if_locs, ef_verts, ef_cells, ef_locs = native
+        ca, cb = if_cells_ab[:, 0], if_cells_ab[:, 1]
+        la, lb = if_locs[:, 0], if_locs[:, 1]
+        ef_cells = ef_cells.astype(np.int64)
+    else:
+        # numpy fallback: enumerate all (cell, local facet) pairs; local
+        # facet i = all vertices except local vertex i
+        loc = np.array([[j for j in range(d + 1) if j != i] for i in range(d + 1)])
+        fv = cells[:, loc]                       # (nc, d+1, d)
+        fv = np.sort(fv, axis=2)
+        flat = fv.reshape(-1, d)                 # (nc*(d+1), d)
+        owner_cell = np.repeat(np.arange(nc), d + 1)
+        owner_loc = np.tile(np.arange(d + 1), nc)
 
-    order = np.lexsort(flat.T[::-1])
-    flat_s = flat[order]
-    same = np.all(flat_s[1:] == flat_s[:-1], axis=1)
-    # group starts
-    starts = np.flatnonzero(np.concatenate([[True], ~same]))
-    counts = np.diff(np.concatenate([starts, [flat_s.shape[0]]]))
-    assert counts.max() <= 2, "non-manifold mesh"
+        order = np.lexsort(flat.T[::-1])
+        flat_s = flat[order]
+        same = np.all(flat_s[1:] == flat_s[:-1], axis=1)
+        starts = np.flatnonzero(np.concatenate([[True], ~same]))
+        counts = np.diff(np.concatenate([starts, [flat_s.shape[0]]]))
+        assert counts.max() <= 2, "non-manifold mesh"
 
-    int_g = starts[counts == 2]
-    ext_g = starts[counts == 1]
+        int_g = starts[counts == 2]
+        ext_g = starts[counts == 1]
 
-    if_verts = flat_s[int_g]
-    ca = owner_cell[order[int_g]]
-    cb = owner_cell[order[int_g + 1]]
-    ef_verts = flat_s[ext_g]
-    ef_cells = owner_cell[order[ext_g]].astype(np.int64)
+        if_verts = flat_s[int_g]
+        ca = owner_cell[order[int_g]]
+        cb = owner_cell[order[int_g + 1]]
+        la = owner_loc[order[int_g]]
+        lb = owner_loc[order[int_g + 1]]
+        ef_verts = flat_s[ext_g]
+        ef_cells = owner_cell[order[ext_g]].astype(np.int64)
 
     # --- canonical orientation: plus = ECS / lower subdomain tag ----------
     ta, tb = cell_tags[ca], cell_tags[cb]
@@ -232,13 +243,11 @@ def build_mesh(
     # --- cell -> facet incidence (gather maps) -----------------------------
     cf_idx = np.full((nc, d + 1), nf, dtype=np.int64)
     cf_is_plus = np.zeros((nc, d + 1), dtype=bool)
-    # interior facet rows in the sorted stream: positions int_g (first owner)
-    # and int_g+1 (second owner)
-    for pos, fid_arr in ((int_g, np.arange(nf)), (int_g + 1, np.arange(nf))):
-        oc = owner_cell[order[pos]]
-        ol = owner_loc[order[pos]]
-        cf_idx[oc, ol] = fid_arr
-        cf_is_plus[oc, ol] = oc == cp[fid_arr]
+    fid = np.arange(nf)
+    cf_idx[ca, la] = fid
+    cf_is_plus[ca, la] = ca == cp
+    cf_idx[cb, lb] = fid
+    cf_is_plus[cb, lb] = cb == cp
 
     mesh = Mesh(
         vertices=vertices,

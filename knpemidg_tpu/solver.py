@@ -626,7 +626,8 @@ class Solver:
         (solvers/twolevel.py), or plain block-Jacobi.  `sym` marks the
         (singular) EMI operator, which also gets the rank-one nullspace
         regularization of the coarse matrix."""
-        if sp_.precond.startswith("two_level"):
+        kind = sp_.precond if sym else (sp_.precond_knp or sp_.precond)
+        if kind.startswith("two_level"):
             if not hasattr(self, "_comp_onehot"):
                 # host-side compartment indicators (one-hot rows -> the
                 # deflation projection is a skinny MXU matmul, gather-free)
@@ -637,7 +638,7 @@ class Solver:
                 self._comp_ids = jnp.asarray(comp, dtype=jnp.int32)
             mv = (
                 (lambda v: bell_matvec(blocks, self.g["nbr"], v))
-                if sp_.precond == "two_level_mult" else None
+                if kind == "two_level_mult" else None
             )
             # EMI (sym): mass-regularized aggregate coarse + exact
             # compartment deflation; KNP: plain aggregate coarse

@@ -150,16 +150,14 @@ def gmres(
         def arnoldi(j, VH):
             V, H = VH
             w = Aop(V[j])
-
-            def mgs(i, wh):
-                w, h = wh
-                hij = jnp.where(i <= j, _dot(V[i], w), 0.0)
-                w = w - hij * V[i]
-                return (w, h.at[i].set(hij))
-
-            w, hcol = jax.lax.fori_loop(
-                0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype=b.dtype))
-            )
+            # classical Gram-Schmidt with reorthogonalization (CGS2):
+            # two skinny GEMV pairs over the whole basis (rows > j are zero)
+            # -- MXU-friendly, unlike a sequential modified-GS loop
+            h1 = V @ w
+            w = w - h1 @ V
+            h2 = V @ w
+            w = w - h2 @ V
+            hcol = h1 + h2
             hj1 = jnp.sqrt(_dot(w, w))
             hcol = hcol.at[j + 1].set(hj1)
             vnext = jnp.where(hj1 > 1e-300, w / jnp.where(hj1 > 0, hj1, 1.0), 0.0)
