@@ -48,6 +48,15 @@ def build(dtype=None, mesh=None):
     return S, sp
 
 
+def _sync(state, stats):
+    """Force completion by pulling results to host: block_until_ready is a
+    no-op on some experimental remote backends, so a device->host read of
+    values that depend on both solves is the reliable barrier."""
+    import numpy as np
+
+    return float(state["phi_M"].min()) + float(np.asarray(stats["knp_iters"]).sum())
+
+
 def time_steps(S, sp, n_steps, label):
     import jax
 
@@ -55,12 +64,11 @@ def time_steps(S, sp, n_steps, label):
     state = S._initial_state(0.0)
     # warmup: compile + 1 step
     state, stats = step(state)
-    jax.block_until_ready(state["c"])
+    _sync(state, stats)
     t0 = time.perf_counter()
-    iters = []
     for _ in range(n_steps):
         state, stats = step(state)
-        jax.block_until_ready(state["c"])
+        _sync(state, stats)
     dt_wall = (time.perf_counter() - t0) / n_steps
     import numpy as np
 

@@ -3,6 +3,14 @@
 Public API (parity with src/knpemidg/__init__.py:1-17 plus the TPU-native
 additions)."""
 
+import jax as _jax
+
+# TPU f32 matmuls default to bf16-pass MXU arithmetic; the Krylov
+# orthogonalization and coarse-inverse GEMVs need true f32 (iteration counts
+# roughly double otherwise).  Our matmuls are small/bandwidth-bound, so
+# 'highest' costs nothing.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .config import Ion, PhysicalParams, SolverParams, StimParams, ion_from_dict
 from .solver import Solver, StandardSolver, Traces
 from .solver_emi import SolverEMI, StandardSolverEMI
