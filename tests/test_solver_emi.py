@@ -1,0 +1,54 @@
+"""EMI-only solver (SolverEMI): frozen concentrations, ODE -> EMI loop
+(reference solver_emi.py:618-700)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+from knpemidg_tpu.config import Ion, PhysicalParams, SolverParams, StimParams
+from knpemidg_tpu.mesh.generators import box_2d_neuron
+from knpemidg_tpu.models.hh import HodgkinHuxleySI
+from knpemidg_tpu.solver_emi import StandardSolverEMI
+
+
+@pytest.mark.slow
+def test_emi_only_solver():
+    params = PhysicalParams(
+        dt=1.0e-4, n_steps_ODE=25, C_M=0.02, temperature=300.0,
+        F=96485.0, R=8.314,
+        phi_M_init=-0.07438609374462003, phi_M_init_type="constant",
+        rho_sub={0: 0.0, 1: 0.0},
+    )
+    Na_i, Na_e = 12.838513108648856, 100.71925900027354
+    K_i, K_e = 124.15397583491901, 3.3236967382705265
+    ions = [
+        Ion(name="K", z=1.0, D_sub={0: 1.96e-9, 1: 1.96e-9},
+            c_init_sub={0: K_e, 1: K_i}),
+        Ion(name="Cl", z=-1.0, D_sub={0: 2.03e-9, 1: 2.03e-9},
+            c_init_sub={0: Na_e + K_e, 1: Na_i + K_i}),
+        Ion(name="Na", z=1.0, D_sub={0: 1.33e-9, 1: 1.33e-9},
+            c_init_sub={0: Na_e, 1: Na_i}),
+    ]
+    stim = StimParams(stimulus={"stim_amplitude": 10.0},
+                      stimulus_locator=lambda x: x[0] < 20e-6)
+    S = StandardSolverEMI(params, ions)
+    S.setup_domain(box_2d_neuron(0))
+    S.setup_parameters()
+    S.setup_FEM_spaces()
+    S.setup_membrane_model(stim, {1: HodgkinHuxleySI(stimulus=True)})
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-5, atol_emi=1e-40)
+    c0 = np.asarray(S.c_init)
+    state = S.solve_system_active(10 * S.params.dt, 0.0, sp)
+    # concentrations frozen (EMI-only), potential active and physiological
+    assert np.array_equal(np.asarray(state["c"]), c0)
+    phi_M = np.asarray(state["phi_M"])
+    assert np.all(phi_M > -0.2) and np.all(phi_M < 0.1)
+    mids = S.tables.midpoints
+    stim_sel = mids[:, 0] < 20e-6
+    assert phi_M[stim_sel].max() > -0.0743 + 2e-3
+    # KNP never ran
+    assert all(int(np.sum(k)) == 0 for k in S.stats.knp_niters)
