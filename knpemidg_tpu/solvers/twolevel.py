@@ -1,19 +1,15 @@
-"""Two-level (block-Jacobi + aggregation coarse grid) preconditioner.
+"""Two-level + deflation preconditioner (hypre BoomerAMG replacement,
+SURVEY.md N4).
 
-The hypre BoomerAMG replacement (SURVEY.md N4).  Cells are grouped into
-contiguous aggregates of the Morton-ordered numbering (mesh/core.py), the
-coarse space is piecewise constant per aggregate, and the coarse operator
-``A_c = R^T A R`` is a *small dense* matrix re-Galerkinized from the
-block-ELL operator at every assembly -- a single scatter-add -- then
-factorized with dense Cholesky on the MXU.  The preconditioner is the
-additive combination
-
-    M^-1 r = blockJacobi(r) + R A_c^-1 R^T r
-
-which is symmetric (CG-safe) and gives the h-robustness block-Jacobi alone
-lacks for the SIP-DG elliptic systems.  For singular EMI operators pass the
-regularized diagonal (the B-operator blocks, solver.py:376-401) so A_c is
-SPD.
+Three additive SPD pieces (see make_two_level): a block-Jacobi smoother,
+a coarse solve over contiguous fixed-size cell chunks (cells are numbered
+(compartment, Morton) by build_mesh, so chunks never straddle membranes and
+restrict/prolong are reshape-sum/broadcast -- gather-free), and exact
+deflation of the per-compartment constant modes whose tiny eigenvalues
+(~ C_phi * membrane area) carry the membrane-jump physics of the EMI
+operator.  Coarse operators are re-Galerkinized from the block-ELL operator
+at every assembly and inverted densely (equilibrated Cholesky + one
+refinement sweep) so each Krylov-iteration apply is GEMVs only.
 """
 from __future__ import annotations
 
@@ -26,31 +22,12 @@ import numpy as np
 from ..ops.spmv import block_jacobi_apply, block_jacobi_inverse
 
 
-def aggregate_ids(n_cells: int, agg_size: int,
-                  cell_tags: np.ndarray | None = None) -> np.ndarray:
-    """Contiguous Morton-chunk aggregates that never cross subdomain
-    boundaries.
-
-    The EMI operator's troublesome near-kernel is one near-constant mode
-    per enclosed ICS compartment (compartments talk to the ECS only through
-    the weak C_phi membrane coupling), so the coarse space must be able to
-    represent per-compartment constants: an aggregate containing both ECS
-    and ICS cells would average across the membrane and miss those modes
-    (this is what BoomerAMG's strength-of-connection dropping achieves).
-    """
-    if cell_tags is None:
-        return np.arange(n_cells) // agg_size
-    tags = np.asarray(cell_tags)
-    change = np.concatenate([[True], tags[1:] != tags[:-1]])
-    run_id = np.cumsum(change) - 1
-    run_start = np.concatenate([[0], np.flatnonzero(change[1:]) + 1])
-    within = np.arange(n_cells) - run_start[run_id]
-    new_agg = change | (within % agg_size == 0)
-    return np.cumsum(new_agg) - 1
-
-
 def aggregate_ids_graph(mesh, agg_size: int) -> np.ndarray:
     """BFS aggregation on the same-tag cell adjacency graph.
+
+    NOTE: not on the default path (the contiguous-chunk coarse space in
+    make_two_level avoids its gather-based restrict/prolong); kept as the
+    higher-quality aggregation for future shard-local coarse spaces.
 
     Morton runs fragment badly on intertwined geometries (brain tissue has
     tags alternating along the space-filling curve); growing aggregates by
