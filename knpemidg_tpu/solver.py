@@ -251,7 +251,13 @@ class Solver:
 
     def _knp_static(self, k):
         """Cache the time-independent KNP operator part per ion (mass +
-        stiffness + SIP; computed once, reused every step)."""
+        stiffness + SIP; computed once, reused every step).
+
+        Must only populate the cache with *concrete* arrays: when first hit
+        inside a jit trace the result is a tracer that would poison later
+        re-traces, so traced results are returned uncached (the per-trace
+        cost is one extra static assembly at trace time, folded by XLA).
+        """
         if not hasattr(self, "_knp_static_blocks"):
             self._knp_static_blocks = {}
         if k not in self._knp_static_blocks:
@@ -261,7 +267,10 @@ class Solver:
                 assembly.assemble_knp_static, self.g, self.masks,
                 phys=self._phys_knp(),
             ))
-            self._knp_static_blocks[k] = fn(ion=iond)
+            val = fn(ion=iond)
+            if isinstance(val, jax.core.Tracer):
+                return val
+            self._knp_static_blocks[k] = val
         return self._knp_static_blocks[k]
 
     def _assemble_knp_ion(self, k, c, c_elim, phi, phi_M_pad, I_ch_pad,
@@ -630,12 +639,14 @@ class Solver:
         if kind.startswith("two_level"):
             if not hasattr(self, "_comp_onehot"):
                 # host-side compartment indicators (one-hot rows -> the
-                # deflation projection is a skinny MXU matmul, gather-free)
+                # deflation projection is a skinny MXU matmul, gather-free).
+                # Cached as NUMPY: jnp arrays created while tracing are
+                # tracers and must never be cached across traces.
                 comp = self._comp_np
                 oh = np.zeros((int(comp.max()) + 1, self.n_cells))
                 oh[comp, np.arange(self.n_cells)] = 1.0
-                self._comp_onehot = jnp.asarray(oh, dtype=self.dtype)
-                self._comp_ids = jnp.asarray(comp, dtype=jnp.int32)
+                self._comp_onehot = oh.astype(np.dtype(jnp.dtype(self.dtype).name))
+                self._comp_ids = comp.astype(np.int32)
             mv = (
                 (lambda v: bell_matvec(blocks, self.g["nbr"], v))
                 if kind == "two_level_mult" else None
