@@ -8,7 +8,6 @@ files with num-cells/dofs headers, and ANSI-colored console output
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 
