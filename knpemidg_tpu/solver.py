@@ -652,14 +652,16 @@ class Solver:
                 if kind == "two_level_mult" else None
             )
             # EMI (sym): mass-regularized aggregate coarse + exact
-            # compartment deflation; KNP: plain aggregate coarse
+            # compartment deflation; KNP: aggregate coarse with the exact
+            # (1/dt) mass diagonal (sum_ij of the cell mass block = vol/dt)
             extra = (P_diag - blocks[0]) if sym else None
+            mass_diag = None if sym else self.g["vol"] / self.params.dt
             return make_two_level(
                 blocks, P_diag, self.g["nbr"], sp_.agg_size,
                 sym=sym, matvec=mv,
                 comp_onehot=self._comp_onehot if sym else None,
                 comp_ids=self._comp_ids if sym else None,
-                extra_diag=extra,
+                extra_diag=extra, mass_diag=mass_diag,
             )
         Pinv = block_jacobi_inverse(P_diag)
         return lambda r: block_jacobi_apply(Pinv, r)

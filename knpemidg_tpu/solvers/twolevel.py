@@ -132,7 +132,8 @@ def _dense_spd_inverse(Ac, rank1: bool = False):
 
 def make_two_level(blocks, P_diag, nbr, agg_size: int, sym: bool = True,
                    matvec: Callable | None = None, omega: float = 2.0 / 3.0,
-                   comp_onehot=None, comp_ids=None, extra_diag=None) -> Callable:
+                   comp_onehot=None, comp_ids=None, extra_diag=None,
+                   mass_diag=None) -> Callable:
     """Build the preconditioner apply for one assembled operator.
 
     Additive combination of three SPD pieces:
@@ -166,24 +167,37 @@ def make_two_level(blocks, P_diag, nbr, agg_size: int, sym: bool = True,
     pad = n_agg * agg_size - nc
     agg = jnp.arange(nc + pad, dtype=jnp.int32) // agg_size
 
+    # CANCELLATION-FREE Galerkin assembly: a naive R^T A R sums each chunk's
+    # O(1) bulk entries down to the tiny boundary scale, which is
+    # catastrophic in f32 (indefinite coarse matrices -> NaN Cholesky).
+    # Off-diagonals use only chunk-CROSSING entries; diagonals come from the
+    # exact identity A(non-mass part) @ 1 = 0, i.e. within-chunk sums equal
+    # minus the crossing sums, plus the explicitly supplied positive parts
+    # (`mass_diag` (nc,): the KNP mass term; `extra_diag`: the EMI
+    # B-operator regularization).
     v = blocks.sum(axis=(1, 2))                     # (K, nc)
-    vp = jnp.pad(v, ((0, 0), (0, pad)))
-    nbr_p = jnp.pad(nbr, ((0, 0), (0, pad)))
-    rows = jnp.broadcast_to(agg[None, :], vp.shape)
-    cols = agg[nbr_p]
+    cross_chunk = agg[jnp.pad(nbr, ((0, 0), (0, pad)))] != agg[None, :]
+    vm_chunk = jnp.where(cross_chunk, jnp.pad(v, ((0, 0), (0, pad))), 0.0)
+    rows = jnp.broadcast_to(agg[None, :], vm_chunk.shape)
+    cols = agg[jnp.pad(nbr, ((0, 0), (0, pad)))]
     Ac = jnp.zeros((n_agg, n_agg), dtype=blocks.dtype)
-    Ac = Ac.at[rows.ravel(), cols.ravel()].add(vp.ravel())
+    Ac = Ac.at[rows.ravel(), cols.ravel()].add(vm_chunk.ravel())
+    crossing_rowsum = (
+        jnp.pad(vm_chunk.sum(axis=0), (0, 0)).reshape(n_agg, agg_size).sum(axis=1)
+    )
+    diag = -crossing_rowsum
+    if mass_diag is not None:
+        diag = diag + jnp.pad(mass_diag, (0, pad)).reshape(
+            n_agg, agg_size
+        ).sum(axis=1)
     if extra_diag is not None:
-        ed = jnp.pad(extra_diag.sum(axis=(0, 1)), (0, pad))
-        Ac = Ac.at[agg, agg].add(ed)
-    else:
-        # keep mixed-tag chunks SPD for the singular operator: tiny diagonal
-        # lift well below the coarse spectrum but above f32 noise
-        Ac = Ac + jnp.diag(jnp.full(n_agg, 1e-6 * jnp.max(jnp.diagonal(Ac)),
-                                    dtype=Ac.dtype))
+        diag = diag + jnp.pad(extra_diag.sum(axis=(0, 1)), (0, pad)).reshape(
+            n_agg, agg_size
+        ).sum(axis=1)
+    Ac = Ac.at[jnp.arange(n_agg), jnp.arange(n_agg)].add(diag)
     if not sym:
         Ac = 0.5 * (Ac + Ac.T)
-    solve = _dense_spd_inverse(Ac, rank1=extra_diag is None)
+    solve = _dense_spd_inverse(Ac, rank1=extra_diag is None and mass_diag is None)
 
     solve_comp = None
     if comp_onehot is not None:
