@@ -88,7 +88,17 @@ def main():
     from knpemidg_tpu.mesh.io import load_emix_mesh
     from run_EMIx_simulation import DEFAULT_MESH
 
-    mesh = load_emix_mesh(DEFAULT_MESH)
+    if os.path.exists(os.path.join(DEFAULT_MESH, "mesh.h5")):
+        mesh = load_emix_mesh(DEFAULT_MESH)
+    else:
+        # reference assets unavailable: comparable-size synthetic 3D
+        # workload (124,416 tets vs the EMIx volume's 121,617)
+        from knpemidg_tpu.mesh.generators import box_3d_axons
+
+        print("# EMIx mesh assets missing; using synthetic 124k-tet axon "
+              "bundle", file=sys.stderr)
+        mesh = box_3d_axons(1, length_factor=2)
+        mesh.vertices *= 1e2          # m -> cm (emix unit system)
 
     S, sp = build(mesh=mesh)
     t_dev = time_steps(S, sp, N_STEPS, f"device[{jax.default_backend()}]")
