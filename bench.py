@@ -4,9 +4,9 @@
 North-star metric (BASELINE.md): per-timestep cost (assembly + Krylov
 solves, here plus the vmapped membrane ODE step, all fused in one jitted
 program) on the 121,617-tet emimesh volume, dt = 0.1 ms, iterative solvers
-at the reference's production tolerances (rtol_emi 1e-5; KNP tolerance
-capped at f32-reachable 1e-5 -- the reference's 1e-7 is an f64 CPU
-setting).  The reference publishes no numbers (BASELINE.json published: {});
+at the reference's production tolerances (rtol_emi 1e-5, rtol_knp 1e-7 --
+reachable in f32 through the increment-form solves).  The reference
+publishes no numbers (BASELINE.json published: {});
 ``vs_baseline`` therefore reports the measured speedup of this chip over
 the same program on the host CPU (one full XLA-CPU step), the stand-in for
 the "CPU node" in the >=5x north-star target.
