@@ -101,7 +101,7 @@ def coarse_matrix(blocks, nbr, agg, n_agg):
     return Ac.at[rows.ravel(), cols.ravel()].add(v.ravel())
 
 
-def _dense_spd_inverse(Ac, rank1: bool = False):
+def _dense_spd_inverse(Ac, rank1: bool = False, refine: bool = True):
     """Equilibrated explicit inverse of a (near-)SPD dense matrix.
 
     Symmetric diagonal scaling brings the pivots to O(1) so the f32
@@ -119,12 +119,14 @@ def _dense_spd_inverse(Ac, rank1: bool = False):
 
     def apply(rc):
         # explicit inverse (GEMVs; triangular solves are sequential and slow
-        # per Krylov iteration on TPU) + one refinement sweep in the scaled
-        # space: the f32 explicit inverse of an ill-conditioned coarse
-        # matrix loses several digits, which costs outer Krylov iterations
+        # per Krylov iteration on TPU); `refine` adds one iterative-
+        # refinement sweep in the scaled space -- needed for the
+        # ill-conditioned EMI coarse in f32, skippable for the well-scaled
+        # mass-dominated KNP coarse (saves two GEMVs per apply)
         rs = s * rc
         z = inv @ rs
-        z = z + inv @ (rs - As @ z)
+        if refine:
+            z = z + inv @ (rs - As @ z)
         return s * z
 
     return apply
@@ -197,7 +199,9 @@ def make_two_level(blocks, P_diag, nbr, agg_size: int, sym: bool = True,
     Ac = Ac.at[jnp.arange(n_agg), jnp.arange(n_agg)].add(diag)
     if not sym:
         Ac = 0.5 * (Ac + Ac.T)
-    solve = _dense_spd_inverse(Ac, rank1=extra_diag is None and mass_diag is None)
+    solve = _dense_spd_inverse(
+        Ac, rank1=extra_diag is None and mass_diag is None, refine=sym
+    )
 
     solve_comp = None
     if comp_onehot is not None:
