@@ -604,14 +604,39 @@ class Solver:
 
     def solve_system_active(self, Tstop, t, solver_params: SolverParams,
                             filename=None, save_fields=False,
-                            save_solver_stats=False):
-        """Full splitting scheme with membrane ODEs (solver.py:1014-1135)."""
+                            save_solver_stats=False, scan_steps: int = 0):
+        """Full splitting scheme with membrane ODEs (solver.py:1014-1135).
+
+        ``scan_steps > 0`` runs that many steps per jitted lax.scan block
+        (iterative solvers only); I/O and stats are recorded per block."""
         self.splitting_scheme = True
         self._io_setup(filename, save_fields, save_solver_stats, solver_params)
         state = self._initial_state(float(t))
         if self._h5 is not None:       # initial frame (solver.py:1223-1225)
             self._h5.append(state)
         n_steps = int(round(Tstop / self.params.dt))
+
+        if scan_steps > 0:
+            assert not (solver_params.direct_emi or solver_params.direct_knp)
+            block = self._jit(("block", scan_steps, solver_params),
+                              self.fused_block(solver_params, scan_steps))
+            k = 0
+            while k < n_steps:
+                ts = _time.perf_counter()
+                state, st = block(state)
+                jax.block_until_ready(state["c"])
+                wall = _time.perf_counter() - ts
+                for j in range(scan_steps):
+                    self.stats.record_step(
+                        {key: val[j] for key, val in st.items()},
+                        wall / scan_steps,
+                    )
+                k += scan_steps
+                self._io_step(state, k)
+            self._io_close()
+            self.state = state
+            return state
+
         for k in range(n_steps):
             ts = _time.perf_counter()
             ode_fn = self._jit(("ode_step", k == 0),
@@ -704,6 +729,20 @@ class Solver:
             return self._pde_step(state, solver_params)
 
         return step
+
+    def fused_block(self, solver_params: SolverParams, n_steps: int):
+        """lax.scan of `n_steps` fused splitting steps in one jittable
+        function (state -> (state, stacked_stats)); amortizes host dispatch
+        between I/O points -- use sf-aligned blocks with save cadence."""
+        step = self.fused_step(solver_params)
+
+        def block(state):
+            def body(carry, _):
+                return step(carry)
+
+            return jax.lax.scan(body, state, None, length=n_steps)
+
+        return block
 
     # ------------------------------------------------------------------
     # I/O (HDF5 layout parity with solver.py:1214-1237)
