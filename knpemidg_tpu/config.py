@@ -95,6 +95,9 @@ class SolverParams:
     max_it_knp: int = 1000
     gmres_restart: int = 20
     verbose: bool = False
+    # raise when a Krylov solve hits max_it without converging (reference:
+    # ksp_error_if_not_converged, solver.py:428)
+    error_if_not_converged: bool = True
     # preconditioner: 'two_level' (BoomerAMG stand-in) or 'jacobi'
     precond: str = "two_level"
     # KNP-side preconditioner ('' -> same as precond); the parabolic KNP

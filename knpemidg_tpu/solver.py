@@ -107,6 +107,7 @@ class Solver:
         the preconditioner's contiguous coarse chunks never mix compartments
         (reshape-based restrict/prolong stays gather-free; see
         solvers/twolevel.py)."""
+        self._invalidate_caches()
         self._comp_np = compartment_ids(mesh)
         self.mesh = mesh
         qd = quad_degree or 4
@@ -143,8 +144,18 @@ class Solver:
             out[self.mesh.cell_tags == tag] = float(val)
         return out
 
+    def _invalidate_caches(self):
+        """Drop jit traces and cached static blocks bound to the previous
+        mesh/physics; called by setup_domain/setup_parameters so re-setup on
+        an existing Solver never reuses stale traces (ADVICE r1)."""
+        self._jit_cache = {}
+        for attr in ("_knp_static_blocks", "_comp_onehot", "_comp_ids"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
     def setup_parameters(self):
         """Diffusion fields per ion + background charge (solver.py:124-154)."""
+        self._invalidate_caches()
         p = self.params
         self.D = jnp.asarray(
             np.stack([self._cellwise(ion.D_sub) for ion in self.ion_list]),
@@ -249,6 +260,23 @@ class Solver:
             splitting=self.splitting_scheme, mms=self.mms, t=t,
         )
 
+    @staticmethod
+    def _f_source_callable(ion):
+        """Normalize `Ion.f_source` to a callable(x_qp, t) -> (q, nc) or
+        None.  Numeric nonzero values become constant callables -- config.py
+        documents float sources and the reference integrates a constant
+        f_source over dx(0) (solver.py:599); silently dropping them was
+        ADVICE r1."""
+        fs = ion.f_source
+        if callable(fs):
+            return fs
+        val = float(fs)
+        if val == 0.0:
+            return None
+        # x is the cells-last quadrature-point array (q, dim, nc) -> (q, nc)
+        return lambda x, t: jnp.full((x.shape[0], x.shape[-1]), val,
+                                     dtype=x.dtype)
+
     def _knp_static(self, k):
         """Cache the time-independent KNP operator part per ion (mass +
         stiffness + SIP; computed once, reused every step).
@@ -285,7 +313,7 @@ class Solver:
         if self.mms is not None:
             iond["C_sub_i"] = float(ion.C_sub[1])
             iond["C_sub_e"] = float(ion.C_sub[0])
-        f_source = ion.f_source if callable(ion.f_source) else None
+        f_source = self._f_source_callable(ion)
         return assembly.assemble_knp(
             self.g, self.masks, iond, self._phys_knp(), phi, alpha_sum,
             phi_M=phi_M_pad, I_ch_k=I_ch_pad[k], I_ch_tot=I_ch_tot_pad,
@@ -322,9 +350,25 @@ class Solver:
         I_ch_tot_pad = I_ch_pad.sum(axis=0)
 
         stats = {}
+        # eager (host-direct) path: time phases inline -- this branch is
+        # never jitted (_step_fn / fused_step exclude direct solves), so
+        # perf_counter is meaningful here
+        eager = sp_.direct_emi or sp_.direct_knp
+        if eager:
+            phases = stats["phases"] = {}
+            _tmark = [_time.perf_counter()]
+
+            def _phase(name, sync_val):
+                jax.block_until_ready(sync_val)
+                now = _time.perf_counter()
+                phases[name] = phases.get(name, 0.0) + (now - _tmark[0])
+                _tmark[0] = now
+
         # ---- step I: EMI ------------------------------------------------
         asm_emi = self._jit(("asm_emi", self.splitting_scheme), self._assemble_emi)
         blocks, rhs, Pd = asm_emi(c, c_elim, phi_M_pad, I_ch_tot_pad, t)
+        if eager:
+            _phase("emi_assem", rhs)
         if sp_.direct_emi:
             phi_new = jnp.asarray(
                 direct_solvers.solve_direct(blocks, self.g["nbr"], rhs,
@@ -332,20 +376,13 @@ class Solver:
                 dtype=self.dtype,
             )
             stats["emi_iters"] = jnp.int32(0)
+            stats["emi_converged"] = jnp.bool_(True)
         else:
-            # increment form: solve A d = b - A phi_0 around zero -- the f32
-            # residual floor scales with ||d|| instead of ||phi||, while the
-            # tolerance stays relative to the full rhs (b_ref)
-            mv = lambda v: bell_matvec(blocks, self.g["nbr"], v)
-            r0 = rhs - mv(phi)
-            res = pcg(
-                mv, r0, jnp.zeros_like(phi),
-                self._make_precond(blocks, Pd, sp_, sym=True),
-                rtol=sp_.rtol_emi, atol=sp_.atol_emi, max_it=sp_.max_it_emi,
-                project_nullspace=True, b_ref=rhs,
+            phi_new, stats["emi_iters"], stats["emi_converged"] = (
+                self._emi_solve_iterative(blocks, Pd, rhs, phi, sp_)
             )
-            phi_new = phi + res.x
-            stats["emi_iters"] = res.iters
+        if eager:
+            _phase("emi_solve", phi_new)
         phi = phi_new
 
         # ---- step II: KNP per solved ion ---------------------------------
@@ -353,14 +390,21 @@ class Solver:
             # production path: ions are independent identical-structure
             # solves -- vmap them (halves program size vs unrolling, and
             # batches the Krylov matvecs on device)
-            c, knp_iters_arr = self._knp_solve_vmapped(
-                c, c_elim, phi, phi_M_pad, I_ch_pad, I_ch_tot_pad, t, c_n, sp_
+            blocksK, rhsK = self._knp_assemble_all(
+                c, c_elim, phi, phi_M_pad, I_ch_pad, I_ch_tot_pad, t, c_n
             )
-            stats["knp_iters"] = knp_iters_arr
+            if eager:
+                _phase("knp_assem", rhsK)
+            c, stats["knp_iters"], stats["knp_converged"] = (
+                self._knp_solve_all(blocksK, rhsK, c, sp_)
+            )
+            if eager:
+                _phase("knp_solve", c)
             return self._finalize_step(state, stats, c, phi, advance_time, t)
 
         new_c = []
         knp_iters = []
+        knp_conv = []
         for k in range(self.N_ions):
             asm_knp = self._jit(
                 ("asm_knp", k, self.splitting_scheme),
@@ -368,12 +412,15 @@ class Solver:
             )
             blocks, rhs = asm_knp(c, c_elim, phi, phi_M_pad, I_ch_pad,
                                   I_ch_tot_pad, t, c_n)
+            if eager:
+                _phase("knp_assem", rhs)
             if sp_.direct_knp:
                 ck = jnp.asarray(
                     direct_solvers.solve_direct(blocks, self.g["nbr"], rhs),
                     dtype=self.dtype,
                 )
                 knp_iters.append(jnp.int32(0))
+                knp_conv.append(jnp.bool_(True))
             else:
                 # increment form (see EMI above): the KNP solution has
                 # ||c|| ~ 100 mM but per-step changes ~1e-2 mM, so solving
@@ -390,10 +437,29 @@ class Solver:
                 )
                 ck = c[k] + res.x
                 knp_iters.append(res.iters)
+                knp_conv.append(res.converged)
+            if eager:
+                _phase("knp_solve", ck)
             new_c.append(ck)
         c = jnp.stack(new_c)
         stats["knp_iters"] = jnp.stack(knp_iters)
+        stats["knp_converged"] = jnp.stack(knp_conv)
         return self._finalize_step(state, stats, c, phi, advance_time, t)
+
+    def _emi_solve_iterative(self, blocks, Pd, rhs, phi, sp_: SolverParams):
+        """Increment-form PCG for the EMI system (jittable): solve
+        A d = b - A phi_0 around zero -- the f32 residual floor scales with
+        ||d|| instead of ||phi||, while the tolerance stays relative to the
+        full rhs (b_ref)."""
+        mv = lambda v: bell_matvec(blocks, self.g["nbr"], v)
+        r0 = rhs - mv(phi)
+        res = pcg(
+            mv, r0, jnp.zeros_like(phi),
+            self._make_precond(blocks, Pd, sp_, sym=True),
+            rtol=sp_.rtol_emi, atol=sp_.atol_emi, max_it=sp_.max_it_emi,
+            project_nullspace=True, b_ref=rhs,
+        )
+        return phi + res.x, res.iters, res.converged
 
     def _finalize_step(self, state, stats, c, phi, advance_time, t):
         """Post-solve updates (solver.py:808-845)."""
@@ -407,9 +473,10 @@ class Solver:
         new_state.update(c=c, c_elim=c_elim, phi=phi, phi_M=phi_M, t=t)
         return new_state, stats
 
-    def _knp_solve_vmapped(self, c, c_elim, phi, phi_M_pad, I_ch_pad,
-                           I_ch_tot_pad, t, c_n, sp_: SolverParams):
-        """Assemble + GMRES for all solved ions under one vmap."""
+    def _knp_assemble_all(self, c, c_elim, phi, phi_M_pad, I_ch_pad,
+                          I_ch_tot_pad, t, c_n):
+        """Vmapped KNP assembly for all solved ions: (blocks, rhs) stacked
+        over the ion axis (jittable)."""
         call = self._all_c(c, c_elim)
         alpha_sum = jnp.einsum("k,kc,kic->ic", self.z**2, self.D, call)
         statics = jnp.stack([self._knp_static(k) for k in range(self.N_ions)])
@@ -418,9 +485,9 @@ class Solver:
         g = self.g
         src_rows = []
         for k in range(self.N_ions):
-            ion = self.ion_list[k]
-            if callable(ion.f_source):
-                fq = ion.f_source(g["cell_qp"], t)
+            fsrc = self._f_source_callable(self.ion_list[k])
+            if fsrc is not None:
+                fq = fsrc(g["cell_qp"], t)
                 ecs = (g["cell_tag"] == 0)[None, :]
                 src_rows.append(g["vol"] * jnp.einsum(
                     "q,qc,qi->ic", g["w_c"], fq * ecs, g["Phi_c"]
@@ -431,7 +498,7 @@ class Solver:
 
         phys = self._phys_knp()
 
-        def solve_one(z, D, c_k, c_nk, I_ch_k, static_blocks, src):
+        def asm_one(z, D, c_k, c_nk, I_ch_k, static_blocks, src):
             iond = {"z": z, "D": D, "c_n": c_nk, "c_k": c_k}
             blocks, rhs = assembly.assemble_knp(
                 g, self.masks, iond, phys, phi, alpha_sum,
@@ -439,7 +506,17 @@ class Solver:
                 f_source=None, splitting=self.splitting_scheme,
                 static_blocks=static_blocks,
             )
-            rhs = rhs + src
+            return blocks, rhs + src
+
+        return jax.vmap(asm_one)(
+            self.z[:-1], self.D[:-1], c, c_n, I_ch_pad[:-1], statics, srcs
+        )
+
+    def _knp_solve_all(self, blocksK, rhsK, c, sp_: SolverParams):
+        """Vmapped increment-form GMRES over the ion axis (jittable)."""
+        g = self.g
+
+        def solve_one(blocks, rhs, c_k):
             mv = lambda v: bell_matvec(blocks, g["nbr"], v)
             r0 = rhs - mv(c_k)
             res = gmres(
@@ -449,12 +526,9 @@ class Solver:
                 max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
                 b_ref=rhs,
             )
-            return c_k + res.x, res.iters
+            return c_k + res.x, res.iters, res.converged
 
-        new_c, iters = jax.vmap(solve_one)(
-            self.z[:-1], self.D[:-1], c, c_n, I_ch_pad[:-1], statics, srcs
-        )
-        return new_c, iters
+        return jax.vmap(solve_one)(blocksK, rhsK, c)
 
     # ------------------------------------------------------------------
     # Picard iteration (solver.py:850-927)
@@ -479,12 +553,23 @@ class Solver:
         it = 0
         stats = None
         while eps > tol:
+            if it >= max_iter:
+                raise RuntimeError(
+                    f"Picard solver: max iterations ({max_iter}) reached "
+                    f"(eps={eps})"
+                )
             it += 1
+            prev_eps = eps
             prev = s["c"]
             s, stats = step(dict(s, c=s["c"]), c_n=c_n)
             eps = float(jnp.abs(prev - s["c"]).max())
-            if it > max_iter:
-                raise RuntimeError(f"Picard solver diverged (eps={eps})")
+            # the reference exits when eps grows between iterations
+            # (solver.py:912-915) -- actual divergence, not an iteration cap
+            if eps > prev_eps:
+                raise RuntimeError(
+                    f"Picard solver diverged (eps increased {prev_eps} -> {eps})"
+                )
+            self._check_convergence(stats, solver_params)
         if solver_params.verbose:
             print(f"{bcolors.OKCYAN} Summary Picard: eps = {eps}, #iters = {it} {bcolors.ENDC}")
         return s, stats, it
@@ -618,20 +703,22 @@ class Solver:
 
         if scan_steps > 0:
             assert not (solver_params.direct_emi or solver_params.direct_knp)
-            block = self._jit(("block", scan_steps, solver_params),
-                              self.fused_block(solver_params, scan_steps))
             k = 0
             while k < n_steps:
+                # final block shrinks to the remaining steps so the loop
+                # never integrates past Tstop (ADVICE r1: ceil-overshoot)
+                bs = min(scan_steps, n_steps - k)
+                block = self._jit(("block", bs, solver_params),
+                                  self.fused_block(solver_params, bs))
                 ts = _time.perf_counter()
                 state, st = block(state)
                 jax.block_until_ready(state["c"])
                 wall = _time.perf_counter() - ts
-                for j in range(scan_steps):
-                    self.stats.record_step(
-                        {key: val[j] for key, val in st.items()},
-                        wall / scan_steps,
-                    )
-                k += scan_steps
+                for j in range(bs):
+                    step_st = {key: val[j] for key, val in st.items()}
+                    self._check_convergence(step_st, solver_params)
+                    self.stats.record_step(step_st, wall / bs)
+                k += bs
                 self._io_step(state, k)
             self._io_close()
             self.state = state
@@ -699,11 +786,33 @@ class Solver:
             return self._jit(key, partial(self._pde_step, solver_params=solver_params))
         return partial(self._pde_step, solver_params=solver_params)
 
+    def _check_convergence(self, st, sp_: SolverParams):
+        """Fail loudly when a Krylov solve hit max_it without converging
+        (reference: ksp_error_if_not_converged, solver.py:428).  Host-side:
+        jitted steps *record* the flags; the drivers raise."""
+        if not sp_.error_if_not_converged or st is None:
+            return
+        if "emi_converged" in st and not bool(np.all(np.asarray(st["emi_converged"]))):
+            raise RuntimeError(
+                f"EMI Krylov solve did not converge within "
+                f"max_it_emi={sp_.max_it_emi} (rtol_emi={sp_.rtol_emi})"
+            )
+        if "knp_converged" in st and not bool(np.all(np.asarray(st["knp_converged"]))):
+            raise RuntimeError(
+                f"KNP Krylov solve did not converge within "
+                f"max_it_knp={sp_.max_it_knp} (rtol_knp={sp_.rtol_knp})"
+            )
+
     def _timed_pde_step(self, state, solver_params, k):
+        if (self.save_solver_stats and self.mms is None
+                and not solver_params.direct_emi
+                and not solver_params.direct_knp):
+            return self._timed_pde_step_phased(state, solver_params, k)
         ts = _time.perf_counter()
         state, st = self._step_fn(solver_params)(state)
         jax.block_until_ready(state["c"])
         dt_wall = _time.perf_counter() - ts
+        self._check_convergence(st, solver_params)
         self.stats.record_step(st, dt_wall)
         if solver_params.verbose:
             print(f"{bcolors.WARNING} t = {float(state['t']):.6g}  k = {k} {bcolors.ENDC}")
@@ -713,6 +822,92 @@ class Solver:
                 f"step wall: {dt_wall:.4f}s {bcolors.ENDC}"
             )
         return state
+
+    # ------------------------------------------------------------------
+    # phase-split stepping (honest per-phase stats, reference protocol
+    # solver.py:1146-1198) ---------------------------------------------
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _pads(state):
+        phi_M = state["phi_M"]
+        phi_M_pad = jnp.concatenate([phi_M, jnp.zeros(1, dtype=phi_M.dtype)])
+        I_ch = state["I_ch"]
+        I_ch_pad = jnp.concatenate(
+            [I_ch, jnp.zeros((I_ch.shape[0], 1), dtype=I_ch.dtype)], axis=1
+        )
+        return phi_M_pad, I_ch_pad, I_ch_pad.sum(axis=0)
+
+    def _phase_fns(self, sp_: SolverParams):
+        """Separately-jitted (assemble | solve) x (EMI | KNP) + finalize so
+        each phase can be timed with a device sync in between.  Used when
+        `save_solver_stats` is on (instrumentation runs); the production
+        fast path stays one fused program."""
+        key = ("phased", self.splitting_scheme, sp_)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def asm_emi(state):
+            phi_M_pad, _, I_ch_tot_pad = self._pads(state)
+            return self._assemble_emi(state["c"], state["c_elim"],
+                                      phi_M_pad, I_ch_tot_pad, state["t"])
+
+        def solve_emi(blocks, Pd, rhs, state):
+            return self._emi_solve_iterative(blocks, Pd, rhs, state["phi"], sp_)
+
+        def asm_knp(state, phi):
+            phi_M_pad, I_ch_pad, I_ch_tot_pad = self._pads(state)
+            return self._knp_assemble_all(
+                state["c"], state["c_elim"], phi, phi_M_pad, I_ch_pad,
+                I_ch_tot_pad, state["t"], state["c"],
+            )
+
+        def solve_knp(blocksK, rhsK, state):
+            return self._knp_solve_all(blocksK, rhsK, state["c"], sp_)
+
+        def finalize(state, c, phi):
+            return self._finalize_step(state, {}, c, phi, True, state["t"])[0]
+
+        fns = tuple(jax.jit(f) for f in
+                    (asm_emi, solve_emi, asm_knp, solve_knp, finalize))
+        self._jit_cache[key] = fns
+        return fns
+
+    def _timed_pde_step_phased(self, state, sp_: SolverParams, k):
+        asm_emi, solve_emi, asm_knp, solve_knp, finalize = self._phase_fns(sp_)
+        ph = {}
+        tmark = [_time.perf_counter()]
+
+        def phase(name, sync_val):
+            jax.block_until_ready(sync_val)
+            now = _time.perf_counter()
+            ph[name] = now - tmark[0]
+            tmark[0] = now
+
+        t0 = _time.perf_counter()
+        blocks, rhs, Pd = asm_emi(state)
+        phase("emi_assem", rhs)
+        phi, emi_iters, emi_conv = solve_emi(blocks, Pd, rhs, state)
+        phase("emi_solve", phi)
+        blocksK, rhsK = asm_knp(state, phi)
+        phase("knp_assem", rhsK)
+        c, knp_iters, knp_conv = solve_knp(blocksK, rhsK, state)
+        phase("knp_solve", c)
+        new_state = finalize(state, c, phi)
+        jax.block_until_ready(new_state["c_elim"])
+        wall = _time.perf_counter() - t0
+        st = {"emi_iters": emi_iters, "knp_iters": knp_iters,
+              "emi_converged": emi_conv, "knp_converged": knp_conv,
+              "phases": ph}
+        self._check_convergence(st, sp_)
+        self.stats.record_step(st, wall)
+        if sp_.verbose:
+            print(f"{bcolors.WARNING} t = {float(new_state['t']):.6g}  k = {k} {bcolors.ENDC}")
+            print(
+                f"{bcolors.OKGREEN} emi iters: {int(emi_iters)}, "
+                f"knp iters: {np.asarray(knp_iters).tolist()}, "
+                f"phases: { {p: round(v, 4) for p, v in ph.items()} } {bcolors.ENDC}"
+            )
+        return new_state
 
     # ------------------------------------------------------------------
     # fused full step (ODE + EMI + KNP in one jittable function) --------

@@ -35,19 +35,36 @@ class SolverStats:
         self.emi_niters = []
         self.knp_niters = []
         self.step_walls = []
+        self.phase_records = []
         self._files = {}
 
     def record_step(self, step_stats, wall):
+        """`step_stats` may carry a 'phases' dict of host wall times
+        ({emi,knp}_{assem,solve}); only then are the per-phase stats files
+        written -- a fused step has no honest phase split, and duplicating
+        the step wall into both solve files (round-1 behavior) misrepresents
+        them (ADVICE r1)."""
         self.pde_step_timer += wall
         self.step_walls.append(wall)
         self.emi_niters.append(int(step_stats["emi_iters"]))
         self.knp_niters.append(np.asarray(step_stats["knp_iters"]).tolist())
-        for f, line in (
-            ("emi_solve", f"solve_time: {wall:.4f} \n"),
-            ("knp_solve", f"solve_time: {wall:.4f} \n"),
+        phases = step_stats.get("phases") or {}
+        self.emi_solve_timer += phases.get("emi_solve", 0.0)
+        self.knp_solve_timer += phases.get("knp_solve", 0.0)
+        self.emi_ass_timer += phases.get("emi_assem", 0.0)
+        self.knp_ass_timer += phases.get("knp_assem", 0.0)
+        self.phase_records.append(dict(phases))
+        lines = [
             ("emi_niter", f"niter: {self.emi_niters[-1]} \n"),
             ("knp_niter", f"niter: {int(np.sum(self.knp_niters[-1]))} \n"),
-        ):
+        ]
+        for name in ("emi_solve", "knp_solve"):
+            if name in phases:
+                lines.append((name, f"solve_time: {phases[name]:.4f} \n"))
+        for name in ("emi_assem", "knp_assem"):
+            if name in phases:
+                lines.append((name, f"assembly_time: {phases[name]:.4f} \n"))
+        for f, line in lines:
             if f in self._files:
                 self._files[f].write(line)
 
@@ -81,6 +98,10 @@ class SolverStats:
         return {
             "ode_solve_timer": self.ode_solve_timer,
             "pde_step_timer": self.pde_step_timer,
+            "emi_solve_timer": self.emi_solve_timer,
+            "knp_solve_timer": self.knp_solve_timer,
+            "emi_ass_timer": self.emi_ass_timer,
+            "knp_ass_timer": self.knp_ass_timer,
             "mean_step_wall": float(np.mean(self.step_walls)) if self.step_walls else 0.0,
             "emi_niters": self.emi_niters,
             "knp_niters": self.knp_niters,
