@@ -61,7 +61,7 @@ def time_steps(S, sp, n_steps, label):
     import jax
 
     step = jax.jit(S.fused_step(sp))
-    state = S._initial_state(0.0)
+    state = S.attach_pc(S._initial_state(0.0), sp)
     # warmup: compile + 1 step
     state, stats = step(state)
     _sync(state, stats)

@@ -37,6 +37,59 @@ import jax.numpy as jnp
 # small helpers
 # ---------------------------------------------------------------------------
 
+def precompute_static(g):
+    """Extend the geometry dict with mesh-static assembly tensors so the
+    per-step assemblies are coefficient broadcasts instead of re-contracted
+    einsums:
+
+      GG   (nd, nd, nc)  grad(phi_i).grad(phi_j) per cell
+      gnp/gnm (nd, nf+1) n . grad(basis) per facet side
+      E_pp/E_pm/E_mp/E_mm (nd, nd, nf+1) = sum_q w_q R_v[q,i] R_u[q,j]
+          (the facet mass tensors behind the upwind / jump-jump blocks)
+      M0 (nd, nd), phibar (nd,) reference-cell mass factors
+    """
+    g = dict(g)
+    g["GG"] = jnp.einsum("idc,jdc->ijc", g["G"], g["G"])
+    g["gnp"] = jnp.einsum("df,idf->if", g["f_n"], g["G"][:, :, g["f_cp"]])
+    g["gnm"] = jnp.einsum("df,idf->if", g["f_n"], g["G"][:, :, g["f_cm"]])
+    w, Rp, Rm = g["w_f"], g["f_Rp"], g["f_Rm"]
+    g["E_pp"] = jnp.einsum("q,qif,qjf->ijf", w, Rp, Rp)
+    g["E_pm"] = jnp.einsum("q,qif,qjf->ijf", w, Rp, Rm)
+    g["E_mp"] = jnp.einsum("q,qif,qjf->ijf", w, Rm, Rp)
+    g["E_mm"] = jnp.einsum("q,qif,qjf->ijf", w, Rm, Rm)
+    g["M0"] = jnp.einsum("q,qi,qj->ij", g["w_c"], g["Phi_c"], g["Phi_c"])
+    g["phibar"] = jnp.einsum("q,qj->j", g["w_c"], g["Phi_c"])
+    return g
+
+
+def _GG(g):
+    return g["GG"] if "GG" in g else jnp.einsum("idc,jdc->ijc", g["G"], g["G"])
+
+
+def _gn(g, side):
+    key = "gnp" if side == "p" else "gnm"
+    if key in g:
+        return g[key]
+    c = g["f_cp"] if side == "p" else g["f_cm"]
+    return jnp.einsum("df,idf->if", g["f_n"], g["G"][:, :, c])
+
+
+def _M0(g):
+    if "M0" in g:
+        return g["M0"]
+    return jnp.einsum("q,qi,qj->ij", g["w_c"], g["Phi_c"], g["Phi_c"])
+
+
+def _E(g, vu):
+    key = f"E_{vu}"
+    if key in g:
+        return g[key]
+    w = g["w_f"]
+    Rv = g["f_Rp"] if vu[0] == "p" else g["f_Rm"]
+    Ru = g["f_Rp"] if vu[1] == "p" else g["f_Rm"]
+    return jnp.einsum("q,qif,qjf->ijf", w, Rv, Ru)
+
+
 def facet_trace(g, u, side: str):
     """Trace of DG1 field u (nd, nc) at facet quad points -> (nq, nf+1)."""
     R = g["f_Rp"] if side == "p" else g["f_Rm"]           # (nq, nd, nf)
@@ -129,11 +182,16 @@ def _sip_blocks(g, kp, km, gnp, gnm, tau_over_h, sip_mask, pen_p=None, pen_m=Non
 
 
 def _jump_jump_blocks(g, coef, mask):
-    """coef * <[u],[v]> blocks on masked facets; coef (nf+1,) or (nq, nf+1)."""
+    """coef * <[u],[v]> blocks on masked facets; coef (nf+1,) or (nq, nf+1).
+
+    For facet-constant coef this is a broadcast over the static facet mass
+    tensors E_vu (precompute_static)."""
+    if coef.ndim == 1:
+        s = jnp.where(mask, coef * g["f_area"], 0.0)[None, None, :]
+        return (s * _E(g, "pp"), -s * _E(g, "pm"),
+                -s * _E(g, "mp"), s * _E(g, "mm"))
     w = g["w_f"]
     Rp, Rm = g["f_Rp"], g["f_Rm"]
-    if coef.ndim == 1:
-        coef = jnp.broadcast_to(coef[None, :], g["f_Rp"].shape[::2])
     scale = g["f_area"]
 
     def blk(R_v, sv, R_u, su):
@@ -185,16 +243,15 @@ def assemble_emi(
     kappa = F * psi * jnp.einsum("k,kc,kic->ic", z * z, D, c)
 
     # --- cell term: int kappa grad(u).grad(v) ------------------------------
-    kq = jnp.einsum("qi,ic->qc", g["Phi_c"], kappa)          # (nq_c, nc)
-    kbar = jnp.einsum("q,qc->c", g["w_c"], kq)
-    GG = jnp.einsum("idc,jdc->ijc", g["G"], g["G"])
-    A_cell = (g["vol"] * kbar) * GG
+    kbar = jnp.einsum("i,ic->c", g["phibar"], kappa) if "phibar" in g else \
+        jnp.einsum("q,qc->c", g["w_c"], jnp.einsum("qi,ic->qc", g["Phi_c"], kappa))
+    A_cell = (g["vol"] * kbar) * _GG(g)
 
     # --- facet traces of kappa ---------------------------------------------
     kp = facet_trace(g, kappa, "p")                          # (nq, nf+1)
     km = facet_trace(g, kappa, "m")
-    gnp = jnp.einsum("df,idf->if", g["f_n"], g["G"][:, :, g["f_cp"]])
-    gnm = jnp.einsum("df,idf->if", g["f_n"], g["G"][:, :, g["f_cm"]])
+    gnp = _gn(g, "p")
+    gnm = _gn(g, "m")
 
     sip = masks["f_sip"]
     mem = masks["f_mem"]
@@ -260,8 +317,7 @@ def assemble_emi(
         rhs = rhs.at[:, g["e_c"]].add(be)
 
     # --- preconditioner: diag blocks of B = A + kappa/Lp^2 mass --------------
-    M0 = jnp.einsum("q,qi,qj->ij", g["w_c"], g["Phi_c"], g["Phi_c"])
-    P_diag = blocks[0] + (g["vol"] * kbar / phys["Lp"] ** 2) * M0[:, :, None]
+    P_diag = blocks[0] + (g["vol"] * kbar / phys["Lp"] ** 2) * _M0(g)[:, :, None]
 
     return blocks, rhs, P_diag
 
@@ -276,15 +332,13 @@ def assemble_knp_static(g, masks, ion, phys):
     setup; per-step assembly only adds the phi-dependent drift/upwind."""
     z, D = ion["z"], ion["D"]
     dt, tau = phys["dt"], phys["tau_knp"]
-    GG = jnp.einsum("idc,jdc->ijc", g["G"], g["G"])
-    M0 = jnp.einsum("q,qi,qj->ij", g["w_c"], g["Phi_c"], g["Phi_c"])
-    A_cell = (g["vol"] / dt) * M0[:, :, None] + (g["vol"] * D) * GG
+    A_cell = (g["vol"] / dt) * _M0(g)[:, :, None] + (g["vol"] * D) * _GG(g)
     sip = masks["f_sip"]
     ones = jnp.ones_like(g["f_Rp"][:, 0, :])
     Dp = D[g["f_cp"]][None, :] * ones
     Dm = D[g["f_cm"]][None, :] * ones
-    gnp = jnp.einsum("df,idf->if", g["f_n"], g["G"][:, :, g["f_cp"]])
-    gnm = jnp.einsum("df,idf->if", g["f_n"], g["G"][:, :, g["f_cm"]])
+    gnp = _gn(g, "p")
+    gnm = _gn(g, "m")
     # penalty uses jump(D u) (solver.py:590): coefficient D per side
     Mpp, Mpm, Mmp, Mmm = _sip_blocks(
         g, Dp, Dm, gnp, gnm, tau / g["f_havg"], sip, pen_p=Dp, pen_m=Dm
@@ -318,8 +372,9 @@ def assemble_knp(
     z, D = ion["z"], ion["D"]
     F, psi, C_M, dt = phys["F"], phys["psi"], phys["C_M"], phys["dt"]
 
-    M0 = jnp.einsum("q,qi,qj->ij", g["w_c"], g["Phi_c"], g["Phi_c"])
-    phibar = jnp.einsum("q,qj->j", g["w_c"], g["Phi_c"])
+    M0 = _M0(g)
+    phibar = g["phibar"] if "phibar" in g else \
+        jnp.einsum("q,qj->j", g["w_c"], g["Phi_c"])
 
     if static_blocks is None:
         static_blocks = assemble_knp_static(g, masks, ion, phys)
@@ -331,23 +386,21 @@ def assemble_knp(
     drift = jnp.einsum("idc,dc->ic", g["G"], gphi)              # (nd, nc)
     A_cell = z * psi * (g["vol"] * D) * drift[:, None, :] * phibar[None, :, None]
 
-    # --- upwinded drift on tag-0 facets (solver.py:583-594) ------------------
+    # --- upwinded drift on tag-0 facets (solver.py:583-594): coefficient
+    # broadcasts over the static facet mass tensors E_vu --------------------
     un_p = jnp.maximum(
         D[g["f_cp"]] * jnp.einsum("df,df->f", gphi[:, g["f_cp"]], g["f_n"]), 0.0
     )
     un_m = jnp.maximum(
         -D[g["f_cm"]] * jnp.einsum("df,df->f", gphi[:, g["f_cm"]], g["f_n"]), 0.0
     )
-    w = g["w_f"]
     scale = (-z * psi) * g["f_area"] * sip                       # (nf+1,)
-
-    def up_blk(R_v, sv, R_u, un, su):
-        return (scale * un * sv * su) * jnp.einsum("q,qif,qjf->ijf", w, R_v, R_u)
-
-    Mpp = up_blk(g["f_Rp"], +1, g["f_Rp"], un_p, +1)
-    Mpm = up_blk(g["f_Rp"], +1, g["f_Rm"], un_m, -1)
-    Mmp = up_blk(g["f_Rm"], -1, g["f_Rp"], un_p, +1)
-    Mmm = up_blk(g["f_Rm"], -1, g["f_Rm"], un_m, -1)
+    sp_ = (scale * un_p)[None, None, :]
+    sm_ = (scale * un_m)[None, None, :]
+    Mpp = sp_ * _E(g, "pp")
+    Mpm = -sm_ * _E(g, "pm")
+    Mmp = -sp_ * _E(g, "mp")
+    Mmm = sm_ * _E(g, "mm")
 
     blocks = static_blocks + gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
 

@@ -28,9 +28,30 @@ def bell_matvec(blocks: jnp.ndarray, nbr: jnp.ndarray, x: jnp.ndarray) -> jnp.nd
 def block_jacobi_inverse(diag_blocks: jnp.ndarray) -> jnp.ndarray:
     """Inverse of the (nd x nd) diagonal blocks: (nd, nd, nc) -> same.
 
+    Unrolled Gauss-Jordan over the trailing (cell) axis: pure elementwise
+    VPU arithmetic on (nc,) lanes.  jnp.linalg.inv on a (nc, 4, 4) batch
+    lowers to a batched LU on TPU that costs ~100 ms at nc=122k -- ~1000x
+    this formulation.  No pivoting: the DG diagonal blocks are
+    mass-regularized SPD (EMI P_diag carries the B-operator mass, KNP
+    blocks carry vol/dt), so pivots stay safely positive.
+
     Stand-in smoother for hypre BoomerAMG (SURVEY.md N4)."""
-    inv = jnp.linalg.inv(jnp.moveaxis(diag_blocks, -1, 0))
-    return jnp.moveaxis(inv, 0, -1)
+    nd = diag_blocks.shape[0]
+    # A and I as nd x nd lists of (nc,) rows
+    A = [[diag_blocks[i, j] for j in range(nd)] for i in range(nd)]
+    I = [[jnp.full_like(diag_blocks[0, 0], 1.0 if i == j else 0.0)
+          for j in range(nd)] for i in range(nd)]
+    for k in range(nd):
+        piv = 1.0 / A[k][k]
+        A[k] = [a * piv for a in A[k]]
+        I[k] = [a * piv for a in I[k]]
+        for i in range(nd):
+            if i == k:
+                continue
+            f = A[i][k]
+            A[i] = [a - f * b for a, b in zip(A[i], A[k])]
+            I[i] = [a - f * b for a, b in zip(I[i], I[k])]
+    return jnp.stack([jnp.stack(row) for row in I])
 
 
 def block_jacobi_apply(Pinv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:

@@ -24,9 +24,10 @@ from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 
 
 CELL_ARRAYS = {"vol", "G", "diam", "cell_tag", "cell_qp", "cell_mid",
-               "cf_idx", "cf_is_plus", "nbr"}
+               "cf_idx", "cf_is_plus", "nbr", "GG"}
 FACET_ARRAYS = {"f_cp", "f_cm", "f_n", "f_area", "f_havg", "f_Rp", "f_Rm",
-                "f_stag", "f_qp", "f_mid"}
+                "f_stag", "f_qp", "f_mid",
+                "gnp", "gnm", "E_pp", "E_pm", "E_mp", "E_mm"}
 MASK_ARRAYS = {"f_sip", "f_mem", "f_memidx"}
 
 
@@ -87,7 +88,7 @@ def shard_solver(S, mesh: DeviceMesh):
     put(S.g, CELL_ARRAYS | FACET_ARRAYS)
     put(S.masks, MASK_ARRAYS)
     for k in ("w_c", "w_f", "Phi_c", "e_c", "e_n", "e_area", "e_R", "e_qp",
-              "e_tag"):
+              "e_tag", "M0", "phibar"):
         if k in S.g and hasattr(S.g[k], "ndim"):
             S.g[k] = jax.device_put(S.g[k], repl)
     S.D = jax.device_put(S.D, _last_axis_spec(mesh, 2))
@@ -102,6 +103,11 @@ def shard_solver(S, mesh: DeviceMesh):
             out[key] = jax.device_put(v, _last_axis_spec(mesh, v.ndim))
         out["phi_M"] = jax.device_put(state["phi_M"], repl)
         out["I_ch"] = jax.device_put(state["I_ch"], repl)
+        if "pc" in state:
+            # frozen coarse-level data: small dense matrices, replicate
+            out["pc"] = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, repl), state["pc"]
+            )
         return out
 
     return shard_state

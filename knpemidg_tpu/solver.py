@@ -36,7 +36,8 @@ from .ops import assembly
 from .ops.spmv import bell_matvec, block_jacobi_apply, block_jacobi_inverse
 from .solvers.krylov import gmres, pcg
 from .solvers import direct as direct_solvers
-from .solvers.twolevel import compartment_ids, make_two_level
+from .solvers.twolevel import (build_two_level, compartment_ids,
+                               make_two_level, two_level_apply_fn)
 from .membrane.engine import MembraneState, make_membrane, ode_step, set_param, get_param
 from .utils.stats import SolverStats, bcolors
 
@@ -112,7 +113,7 @@ class Solver:
         self.mesh = mesh
         qd = quad_degree or 4
         self.geom = build_geometry(mesh, quad_degree_cell=qd, quad_degree_facet=qd)
-        self.g = self.geom.to_device(self.dtype)
+        self.g = assembly.precompute_static(self.geom.to_device(self.dtype))
         self.gdim = mesh.dim
         self.tau = 20.0 * self.gdim * 1
         self.n_cells = mesh.num_cells
@@ -339,6 +340,7 @@ class Solver:
         c, c_elim, phi, phi_M, t = (
             state["c"], state["c_elim"], state["phi"], state["phi_M"], state["t"]
         )
+        pc = state.get("pc")
         if c_n is None:
             c_n = c
         pad = lambda v: jnp.concatenate([v, jnp.zeros(1, dtype=v.dtype)])
@@ -379,7 +381,10 @@ class Solver:
             stats["emi_converged"] = jnp.bool_(True)
         else:
             phi_new, stats["emi_iters"], stats["emi_converged"] = (
-                self._emi_solve_iterative(blocks, Pd, rhs, phi, sp_)
+                self._emi_solve_iterative(
+                    blocks, Pd, rhs, phi, sp_,
+                    pc=pc.get("emi") if pc else None,
+                )
             )
         if eager:
             _phase("emi_solve", phi_new)
@@ -396,7 +401,8 @@ class Solver:
             if eager:
                 _phase("knp_assem", rhsK)
             c, stats["knp_iters"], stats["knp_converged"] = (
-                self._knp_solve_all(blocksK, rhsK, c, sp_)
+                self._knp_solve_all(blocksK, rhsK, c, sp_,
+                                    pcK=pc.get("knp") if pc else None)
             )
             if eager:
                 _phase("knp_solve", c)
@@ -446,7 +452,8 @@ class Solver:
         stats["knp_converged"] = jnp.stack(knp_conv)
         return self._finalize_step(state, stats, c, phi, advance_time, t)
 
-    def _emi_solve_iterative(self, blocks, Pd, rhs, phi, sp_: SolverParams):
+    def _emi_solve_iterative(self, blocks, Pd, rhs, phi, sp_: SolverParams,
+                             pc=None):
         """Increment-form PCG for the EMI system (jittable): solve
         A d = b - A phi_0 around zero -- the f32 residual floor scales with
         ||d|| instead of ||phi||, while the tolerance stays relative to the
@@ -455,7 +462,7 @@ class Solver:
         r0 = rhs - mv(phi)
         res = pcg(
             mv, r0, jnp.zeros_like(phi),
-            self._make_precond(blocks, Pd, sp_, sym=True),
+            self._make_precond(blocks, Pd, sp_, sym=True, pc=pc),
             rtol=sp_.rtol_emi, atol=sp_.atol_emi, max_it=sp_.max_it_emi,
             project_nullspace=True, b_ref=rhs,
         )
@@ -512,23 +519,26 @@ class Solver:
             self.z[:-1], self.D[:-1], c, c_n, I_ch_pad[:-1], statics, srcs
         )
 
-    def _knp_solve_all(self, blocksK, rhsK, c, sp_: SolverParams):
-        """Vmapped increment-form GMRES over the ion axis (jittable)."""
+    def _knp_solve_all(self, blocksK, rhsK, c, sp_: SolverParams, pcK=None):
+        """Vmapped increment-form GMRES over the ion axis (jittable).
+        `pcK`: frozen coarse data stacked over the ion axis."""
         g = self.g
 
-        def solve_one(blocks, rhs, c_k):
+        def solve_one(blocks, rhs, c_k, pck=None):
             mv = lambda v: bell_matvec(blocks, g["nbr"], v)
             r0 = rhs - mv(c_k)
             res = gmres(
                 mv, r0, jnp.zeros_like(r0),
-                self._make_precond(blocks, blocks[0], sp_, sym=False),
+                self._make_precond(blocks, blocks[0], sp_, sym=False, pc=pck),
                 rtol=sp_.rtol_knp, atol=sp_.atol_knp,
                 max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
                 b_ref=rhs,
             )
             return c_k + res.x, res.iters, res.converged
 
-        return jax.vmap(solve_one)(blocksK, rhsK, c)
+        if pcK is None:
+            return jax.vmap(solve_one)(blocksK, rhsK, c)
+        return jax.vmap(solve_one)(blocksK, rhsK, c, pcK)
 
     # ------------------------------------------------------------------
     # Picard iteration (solver.py:850-927)
@@ -540,7 +550,7 @@ class Solver:
         `tol` (reference defaults, solver.py:862-864); diverging iterations
         raise (reference exits, :912-915)."""
         c_n = state["c"]
-        s = dict(state)
+        s = dict(self.attach_pc(state, solver_params))
         s["t"] = state["t"] + self.params.dt      # t advanced first (:859)
         step = self._jit(
             ("picard_inner", self.splitting_scheme, solver_params),
@@ -672,7 +682,7 @@ class Solver:
         drivers (solver.py:930-1011)."""
         self.splitting_scheme = False
         self._io_setup(filename, save_fields, save_solver_stats, solver_params)
-        state = self._initial_state(float(t))
+        state = self.attach_pc(self._initial_state(float(t)), solver_params)
         if self._h5 is not None:       # initial frame (solver.py:1223-1225)
             self._h5.append(state)
         n_steps = int(round(Tstop / self.params.dt))
@@ -696,7 +706,7 @@ class Solver:
         (iterative solvers only); I/O and stats are recorded per block."""
         self.splitting_scheme = True
         self._io_setup(filename, save_fields, save_solver_stats, solver_params)
-        state = self._initial_state(float(t))
+        state = self.attach_pc(self._initial_state(float(t)), solver_params)
         if self._h5 is not None:       # initial frame (solver.py:1223-1225)
             self._h5.append(state)
         n_steps = int(round(Tstop / self.params.dt))
@@ -742,27 +752,39 @@ class Solver:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
-    def _make_precond(self, blocks, P_diag, sp_: SolverParams, sym: bool):
+    def _comp_arrays(self):
+        """Host-side compartment indicators (one-hot rows -> the deflation
+        projection is a skinny MXU matmul, gather-free).  Cached as NUMPY:
+        jnp arrays created while tracing are tracers and must never be
+        cached across traces."""
+        if not hasattr(self, "_comp_onehot"):
+            comp = self._comp_np
+            oh = np.zeros((int(comp.max()) + 1, self.n_cells))
+            oh[comp, np.arange(self.n_cells)] = 1.0
+            self._comp_onehot = oh.astype(np.dtype(jnp.dtype(self.dtype).name))
+            self._comp_ids = comp.astype(np.int32)
+        return self._comp_onehot, self._comp_ids
+
+    def _make_precond(self, blocks, P_diag, sp_: SolverParams, sym: bool,
+                      pc=None):
         """BoomerAMG stand-in: two-level aggregation preconditioner
         (solvers/twolevel.py), or plain block-Jacobi.  `sym` marks the
         (singular) EMI operator, which also gets the rank-one nullspace
-        regularization of the coarse matrix."""
+        regularization of the coarse matrix.
+
+        `pc`: frozen coarse-level data from `_build_pc` -- the dense coarse
+        inverse costs ~200 ms on the EMIx mesh, so production solves reuse
+        data built once at the initial state (the block-Jacobi smoother is
+        still rebuilt from the fresh P_diag)."""
         kind = sp_.precond if sym else (sp_.precond_knp or sp_.precond)
         if kind.startswith("two_level"):
-            if not hasattr(self, "_comp_onehot"):
-                # host-side compartment indicators (one-hot rows -> the
-                # deflation projection is a skinny MXU matmul, gather-free).
-                # Cached as NUMPY: jnp arrays created while tracing are
-                # tracers and must never be cached across traces.
-                comp = self._comp_np
-                oh = np.zeros((int(comp.max()) + 1, self.n_cells))
-                oh[comp, np.arange(self.n_cells)] = 1.0
-                self._comp_onehot = oh.astype(np.dtype(jnp.dtype(self.dtype).name))
-                self._comp_ids = comp.astype(np.int32)
             mv = (
                 (lambda v: bell_matvec(blocks, self.g["nbr"], v))
                 if kind == "two_level_mult" else None
             )
+            if pc is not None:
+                return two_level_apply_fn(pc, P_diag, sp_.agg_size, matvec=mv)
+            comp_onehot, comp_ids = self._comp_arrays() if sym else (None, None)
             # EMI (sym): mass-regularized aggregate coarse + exact
             # compartment deflation; KNP: aggregate coarse with the exact
             # (1/dt) mass diagonal (sum_ij of the cell mass block = vol/dt)
@@ -771,12 +793,67 @@ class Solver:
             return make_two_level(
                 blocks, P_diag, self.g["nbr"], sp_.agg_size,
                 sym=sym, matvec=mv,
-                comp_onehot=self._comp_onehot if sym else None,
-                comp_ids=self._comp_ids if sym else None,
+                comp_onehot=comp_onehot, comp_ids=comp_ids,
                 extra_diag=extra, mass_diag=mass_diag,
             )
         Pinv = block_jacobi_inverse(P_diag)
         return lambda r: block_jacobi_apply(Pinv, r)
+
+    def _build_pc(self, state, sp_: SolverParams):
+        """Build the frozen two-level coarse data for EMI and per-ion KNP
+        operators at the given state (once, outside the per-step jits).
+        Returns {'emi': data, 'knp': stacked data} to be carried in the
+        state pytree, or None when not applicable (direct solves, MMS,
+        jacobi preconditioning)."""
+        if self.mms is not None or (sp_.direct_emi and sp_.direct_knp):
+            return None
+        pc = {}
+        phi_M_pad, I_ch_pad, I_ch_tot_pad = self._pads(state)
+        if not sp_.direct_emi and sp_.precond.startswith("two_level"):
+            asm_emi = self._jit(("asm_emi", self.splitting_scheme),
+                                self._assemble_emi)
+            blocks, _, Pd = asm_emi(state["c"], state["c_elim"], phi_M_pad,
+                                    I_ch_tot_pad, state["t"])
+            comp_onehot, comp_ids = self._comp_arrays()
+            build = self._jit(
+                ("pc_emi", sp_.agg_size),
+                lambda b, P: build_two_level(
+                    b, self.g["nbr"], sp_.agg_size, sym=True,
+                    comp_onehot=jnp.asarray(comp_onehot),
+                    comp_ids=jnp.asarray(comp_ids),
+                    extra_diag=P - b[0],
+                ),
+            )
+            pc["emi"] = build(blocks, Pd)
+        kind_knp = sp_.precond_knp or sp_.precond
+        if not sp_.direct_knp and kind_knp.startswith("two_level"):
+            asm_knp = self._jit(
+                ("asm_knp_all", self.splitting_scheme),
+                lambda st: self._knp_assemble_all(
+                    st["c"], st["c_elim"], st["phi"], *self._pads(st),
+                    st["t"], st["c"],
+                ),
+            )
+            blocksK, _ = asm_knp(state)
+            build_k = self._jit(
+                ("pc_knp", sp_.agg_size),
+                jax.vmap(lambda b: build_two_level(
+                    b, self.g["nbr"], sp_.agg_size, sym=False,
+                    mass_diag=self.g["vol"] / self.params.dt,
+                )),
+            )
+            pc["knp"] = build_k(blocksK)
+        return pc or None
+
+    def attach_pc(self, state, sp_: SolverParams):
+        """Attach frozen preconditioner data to a state pytree (no-op if
+        already present or not applicable)."""
+        if "pc" in state:
+            return state
+        pc = self._build_pc(state, sp_)
+        if pc is None:
+            return state
+        return dict(state, pc=pc)
 
     def _step_fn(self, solver_params: SolverParams):
         """Fully-jitted PDE step for the iterative path; eager orchestration
@@ -852,7 +929,11 @@ class Solver:
                                       phi_M_pad, I_ch_tot_pad, state["t"])
 
         def solve_emi(blocks, Pd, rhs, state):
-            return self._emi_solve_iterative(blocks, Pd, rhs, state["phi"], sp_)
+            pc = state.get("pc")
+            return self._emi_solve_iterative(
+                blocks, Pd, rhs, state["phi"], sp_,
+                pc=pc.get("emi") if pc else None,
+            )
 
         def asm_knp(state, phi):
             phi_M_pad, I_ch_pad, I_ch_tot_pad = self._pads(state)
@@ -862,7 +943,9 @@ class Solver:
             )
 
         def solve_knp(blocksK, rhsK, state):
-            return self._knp_solve_all(blocksK, rhsK, state["c"], sp_)
+            pc = state.get("pc")
+            return self._knp_solve_all(blocksK, rhsK, state["c"], sp_,
+                                       pcK=pc.get("knp") if pc else None)
 
         def finalize(state, c, phi):
             return self._finalize_step(state, {}, c, phi, True, state["t"])[0]

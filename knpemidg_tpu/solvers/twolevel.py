@@ -90,93 +90,24 @@ def compartment_ids(mesh) -> np.ndarray:
     return _compartments(mesh)
 
 
-def coarse_matrix(blocks, nbr, agg, n_agg):
-    """A_c[a,b] = sum over cell rows in a, neighbor cols in b of block sums.
+def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
+                    comp_onehot=None, comp_ids=None, extra_diag=None,
+                    mass_diag=None):
+    """Build the *frozen* coarse-level data of the two-level preconditioner:
+    the dense equilibrated coarse inverse (and the compartment-deflation
+    inverse).  This is the expensive part (a ~(nc/agg)^3 Cholesky + explicit
+    inverse, ~200 ms on the EMIx mesh) -- round 1 rebuilt it inside every
+    Krylov solve; here it runs once at setup and the per-step solves reuse
+    it.  A preconditioner built from slightly stale blocks is still a valid
+    preconditioner (the Krylov iteration corrects for the difference); only
+    the block-Jacobi smoother is rebuilt from fresh blocks each solve.
 
-    blocks (K, nd, nd, nc), nbr (K, nc), agg (nc,)."""
-    v = blocks.sum(axis=(1, 2))                 # (K, nc)
-    rows = jnp.broadcast_to(agg[None, :], v.shape)
-    cols = agg[nbr]
-    Ac = jnp.zeros((n_agg, n_agg), dtype=blocks.dtype)
-    return Ac.at[rows.ravel(), cols.ravel()].add(v.ravel())
-
-
-def _dense_spd_inverse(Ac, rank1: bool = False, refine: bool = True):
-    """Equilibrated explicit inverse of a (near-)SPD dense matrix.
-
-    Symmetric diagonal scaling brings the pivots to O(1) so the f32
-    Cholesky on TPU doesn't break down on badly scaled coarse operators;
-    with `rank1`, the (exactly singular) global-constant direction is
-    shifted by a rank-one O(1) term after scaling.  Returns apply(rc)."""
-    d = jnp.diagonal(Ac)
-    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30 * jnp.max(d)))
-    As = Ac * s[:, None] * s[None, :]
-    if rank1:
-        n = Ac.shape[0]
-        As = As + (1.0 / n) * jnp.ones_like(As)
-    fac = jax.scipy.linalg.cho_factor(As)
-    inv = jax.scipy.linalg.cho_solve(fac, jnp.eye(As.shape[0], dtype=As.dtype))
-
-    def apply(rc):
-        # explicit inverse (GEMVs; triangular solves are sequential and slow
-        # per Krylov iteration on TPU); `refine` adds one iterative-
-        # refinement sweep in the scaled space -- needed for the
-        # ill-conditioned EMI coarse in f32, skippable for the well-scaled
-        # mass-dominated KNP coarse (saves two GEMVs per apply)
-        rs = s * rc
-        z = inv @ rs
-        if refine:
-            z = z + inv @ (rs - As @ z)
-        return s * z
-
-    return apply
-
-
-def make_two_level(blocks, P_diag, nbr, agg_size: int, sym: bool = True,
-                   matvec: Callable | None = None, omega: float = 2.0 / 3.0,
-                   comp_onehot=None, comp_ids=None, extra_diag=None,
-                   mass_diag=None) -> Callable:
-    """Build the preconditioner apply for one assembled operator.
-
-    Additive combination of three SPD pieces:
-      * block-Jacobi smoother from `P_diag` (nd, nd, nc) -- high frequency;
-      * aggregate coarse solve over *contiguous fixed-size Morton chunks*
-        (`extra_diag` (nd, nd, nc) adds the B-operator mass regularization
-        for the singular EMI case) -- bulk low frequency;
-      * exact *compartment deflation* (`comp_onehot` (n_comp, nc): indicator
-        matrix of the connected components of the same-subdomain cell
-        graph): the per-compartment constant modes have eigenvalues
-        ~ C_phi * membrane area, orders of magnitude below the bulk
-        spectrum; solving their Galerkin system exactly (a tiny
-        uniform-scale matrix, f32-safe) replaces BoomerAMG's
-        strength-based coarsening for the EMI operator.
-
-    THE HOT-PATH RULE: the per-iteration apply contains NO gathers or
-    scatters -- TPU random gather runs ~2 orders of magnitude below HBM
-    bandwidth.  Contiguous chunks make restrict/prolong a reshape-sum /
-    broadcast; the compartment projection is a skinny matmul (MXU).
-    Scatters appear only in the once-per-solve Galerkin coarse assembly.
-
-    `sym=False` symmetrizes the coarse operators (upwinded KNP).  With
-    `matvec`, wraps the corrections in a symmetric V-cycle instead.
-
-    Layout: blocks (K, nd, nd, nc); residuals (nd, nc).
-    """
-    Pinv = block_jacobi_inverse(P_diag)
-    nd = blocks.shape[1]
+    Returns a pytree of arrays usable as a jit argument."""
     nc = blocks.shape[3]
     n_agg = -(-nc // agg_size)
     pad = n_agg * agg_size - nc
     agg = jnp.arange(nc + pad, dtype=jnp.int32) // agg_size
 
-    # CANCELLATION-FREE Galerkin assembly: a naive R^T A R sums each chunk's
-    # O(1) bulk entries down to the tiny boundary scale, which is
-    # catastrophic in f32 (indefinite coarse matrices -> NaN Cholesky).
-    # Off-diagonals use only chunk-CROSSING entries; diagonals come from the
-    # exact identity A(non-mass part) @ 1 = 0, i.e. within-chunk sums equal
-    # minus the crossing sums, plus the explicitly supplied positive parts
-    # (`mass_diag` (nc,): the KNP mass term; `extra_diag`: the EMI
-    # B-operator regularization).
     v = blocks.sum(axis=(1, 2))                     # (K, nc)
     cross_chunk = agg[jnp.pad(nbr, ((0, 0), (0, pad)))] != agg[None, :]
     vm_chunk = jnp.where(cross_chunk, jnp.pad(v, ((0, 0), (0, pad))), 0.0)
@@ -199,16 +130,22 @@ def make_two_level(blocks, P_diag, nbr, agg_size: int, sym: bool = True,
     Ac = Ac.at[jnp.arange(n_agg), jnp.arange(n_agg)].add(diag)
     if not sym:
         Ac = 0.5 * (Ac + Ac.T)
-    solve = _dense_spd_inverse(
-        Ac, rank1=extra_diag is None and mass_diag is None, refine=sym
-    )
+    rank1 = extra_diag is None and mass_diag is None
+    d = jnp.diagonal(Ac)
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30 * jnp.max(d)))
+    As = Ac * s[:, None] * s[None, :]
+    if rank1:
+        As = As + (1.0 / n_agg) * jnp.ones_like(As)
+    fac = jax.scipy.linalg.cho_factor(As)
+    inv = jax.scipy.linalg.cho_solve(fac, jnp.eye(n_agg, dtype=As.dtype))
 
-    solve_comp = None
+    # arrays only: the dict is passed straight through jit boundaries
+    # (static metadata -- agg_size, refine -- travels separately)
+    data = {"inv": inv, "s": s}
+    if sym:
+        data["As"] = As
+
     if comp_onehot is not None:
-        # Compartment Galerkin matrix from compartment-CROSSING entries only
-        # (the naive R^T A R cancels O(1) bulk sums down to the tiny
-        # membrane scale -- catastrophic in f32); diagonal from exact
-        # row-sum-zero (A annihilates constants).
         if comp_ids is None:
             comp_ids = jnp.argmax(comp_onehot, axis=0).astype(jnp.int32)
         n_comp = comp_onehot.shape[0]
@@ -223,21 +160,65 @@ def make_two_level(blocks, P_diag, nbr, agg_size: int, sym: bool = True,
         )
         if not sym:
             Acomp = 0.5 * (Acomp + Acomp.T)
-        solve_comp = _dense_spd_inverse(Acomp, rank1=True)
+        dc = jnp.diagonal(Acomp)
+        sc = jax.lax.rsqrt(jnp.maximum(dc, 1e-30 * jnp.max(dc)))
+        Asc = Acomp * sc[:, None] * sc[None, :] + (1.0 / n_comp) * jnp.ones(
+            (n_comp, n_comp), dtype=Acomp.dtype
+        )
+        facc = jax.scipy.linalg.cho_factor(Asc)
+        invc = jax.scipy.linalg.cho_solve(facc, jnp.eye(n_comp, dtype=Asc.dtype))
+        data["comp_inv"] = invc
+        data["comp_s"] = sc
+        data["comp_As"] = Asc
+        data["comp_onehot"] = comp_onehot
+    return data
+
+
+def two_level_apply_fn(data, P_diag, agg_size: int,
+                       matvec: Callable | None = None,
+                       omega: float = 2.0 / 3.0) -> Callable:
+    """Per-solve preconditioner apply from frozen coarse `data` (see
+    build_two_level) and the *current* block-Jacobi diagonal.  The apply is
+    gather/scatter-free: reshape-sum restrict, broadcast prolong, skinny
+    matmuls for the compartment projection, dense GEMVs for the coarse."""
+    Pinv = block_jacobi_inverse(P_diag)
+    nd = P_diag.shape[0]
+    nc = P_diag.shape[2]
+    inv, s = data["inv"], data["s"]
+    n_agg = inv.shape[0]
+    pad = n_agg * agg_size - nc
+    refine = "As" in data
+    As = data.get("As")
+
+    def coarse_solve(rc):
+        rs = s * rc
+        z = inv @ rs
+        if refine:
+            z = z + inv @ (rs - As @ z)
+        return s * z
+
+    comp = "comp_inv" in data
+    if comp:
+        invc, sc, OH = data["comp_inv"], data["comp_s"], data["comp_onehot"]
+        Asc = data["comp_As"]
+
+        def comp_solve(rcomp):
+            # one refinement sweep: the compartment system is the
+            # f32-fragile piece (tiny membrane-scale eigenvalues)
+            rsc = sc * rcomp
+            zc = invc @ rsc
+            zc = zc + invc @ (rsc - Asc @ zc)
+            return sc * zc
 
     def coarse(r):
         rs = r.sum(axis=0)                               # (nc,)
-        # contiguous-chunk restrict: reshape-sum (no gather/scatter)
         rc = jnp.pad(rs, (0, pad)).reshape(n_agg, agg_size).sum(axis=1)
-        zc = solve(rc)
+        zc = coarse_solve(rc)
         z = jnp.broadcast_to(
             zc[:, None], (n_agg, agg_size)
         ).reshape(-1)[:nc]
-        if solve_comp is not None:
-            # skinny-matmul projection (MXU), no gather/scatter
-            rcomp = comp_onehot @ rs
-            zcomp = solve_comp(rcomp)
-            z = z + zcomp @ comp_onehot
+        if comp:
+            z = z + comp_solve(OH @ rs) @ OH
         return jnp.broadcast_to(z[None, :], (nd, nc))
 
     if matvec is None:
@@ -253,3 +234,52 @@ def make_two_level(blocks, P_diag, nbr, agg_size: int, sym: bool = True,
         return z + omega * block_jacobi_apply(Pinv, r2)
 
     return apply
+
+
+def make_two_level(blocks, P_diag, nbr, agg_size: int, sym: bool = True,
+                   matvec: Callable | None = None, omega: float = 2.0 / 3.0,
+                   comp_onehot=None, comp_ids=None, extra_diag=None,
+                   mass_diag=None) -> Callable:
+    """Build-and-apply in one go (see build_two_level / two_level_apply_fn).
+
+    Additive combination of three SPD pieces:
+      * block-Jacobi smoother from `P_diag` (nd, nd, nc) -- high frequency;
+      * aggregate coarse solve over *contiguous fixed-size Morton chunks*
+        (`extra_diag` (nd, nd, nc) adds the B-operator mass regularization
+        for the singular EMI case) -- bulk low frequency;
+      * exact *compartment deflation* (`comp_onehot` (n_comp, nc): indicator
+        matrix of the connected components of the same-subdomain cell
+        graph): the per-compartment constant modes have eigenvalues
+        ~ C_phi * membrane area, orders of magnitude below the bulk
+        spectrum; solving their Galerkin system exactly (a tiny
+        uniform-scale matrix, f32-safe) replaces BoomerAMG's
+        strength-based coarsening for the EMI operator.
+
+    CANCELLATION-FREE Galerkin assembly (build_two_level): a naive R^T A R
+    sums each chunk's O(1) bulk entries down to the tiny boundary scale,
+    which is catastrophic in f32 (indefinite coarse matrices -> NaN
+    Cholesky).  Off-diagonals use only chunk-CROSSING entries; diagonals
+    come from the exact identity A(non-mass part) @ 1 = 0, plus the
+    explicitly supplied positive parts (`mass_diag` (nc,): the KNP mass
+    term; `extra_diag`: the EMI B-operator regularization).
+
+    THE HOT-PATH RULE: the per-iteration apply contains NO gathers or
+    scatters -- TPU random gather runs ~2 orders of magnitude below HBM
+    bandwidth.  Contiguous chunks make restrict/prolong a reshape-sum /
+    broadcast; the compartment projection is a skinny matmul (MXU).
+    Scatters appear only in the once-per-setup Galerkin coarse assembly.
+
+    Prefer build_two_level (once, at setup) + two_level_apply_fn (per
+    solve) in production: the dense coarse inverse costs ~200 ms on the
+    EMIx mesh and must not be rebuilt per step.
+
+    `sym=False` symmetrizes the coarse operators (upwinded KNP).  With
+    `matvec`, wraps the corrections in a symmetric V-cycle instead.
+
+    Layout: blocks (K, nd, nd, nc); residuals (nd, nc).
+    """
+    data = build_two_level(blocks, nbr, agg_size, sym=sym,
+                           comp_onehot=comp_onehot, comp_ids=comp_ids,
+                           extra_diag=extra_diag, mass_diag=mass_diag)
+    return two_level_apply_fn(data, P_diag, agg_size, matvec=matvec,
+                              omega=omega)

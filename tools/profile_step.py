@@ -36,7 +36,7 @@ def main():
     # tiny sync helpers: reduce to scalar on device, pull 4 bytes
     s0 = jax.jit(lambda a: jnp.asarray(a).ravel()[0])
 
-    state = S._initial_state(0.0)
+    state = S.attach_pc(S._initial_state(0.0), sp)
     for step in range(N_STEPS):
         ph = {}
         t0 = time.perf_counter()
