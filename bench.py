@@ -43,7 +43,7 @@ def build(dtype=None, mesh=None):
         direct_emi=False, direct_knp=False,
         rtol_emi=1e-5, atol_emi=1e-40,
         rtol_knp=1e-7, atol_knp=2e-40,
-        max_it_emi=1000, max_it_knp=1000, gmres_restart=60, agg_size=32,
+        max_it_emi=1000, max_it_knp=1000, gmres_restart=60, agg_size=64,
     )
     return S, sp
 
@@ -81,6 +81,54 @@ def time_steps(S, sp, n_steps, label):
     return dt_wall
 
 
+def phase_breakdown(S, sp):
+    """Honest per-phase wall times (VERDICT r1 item 5): one step through the
+    separately-jitted phase functions (solver._phase_fns) with a device sync
+    between phases, plus the vmapped membrane ODE step, plus an achieved-
+    bandwidth estimate for the block-ELL matvec (the Krylov hot op)."""
+    import jax
+    import jax.numpy as jnp
+
+    state = S.attach_pc(S._initial_state(0.0), sp)
+    ph = {}
+    if S.mem_models:
+        ode = jax.jit(lambda st: S._ode_step(st, first_step=False))
+        state = ode(state)                              # compile
+        jax.block_until_ready(state["phi_M"])
+        t0 = time.perf_counter()
+        state = ode(state)
+        jax.block_until_ready(state["phi_M"])
+        ph["ode"] = time.perf_counter() - t0
+    # warm the phase jits with one throwaway pass, then measure
+    S._timed_pde_step_phased(state, sp, 0)
+    S.stats.phase_records.clear()
+    state = S._timed_pde_step_phased(state, sp, 1)
+    ph.update(S.stats.phase_records[-1])
+
+    # matvec: chained applies inside one jit -> achieved HBM bandwidth
+    blocks, rhs, _ = S._phase_fns(sp)[0](state)
+    nbr = S.g["nbr"]
+    from knpemidg_tpu.ops.spmv import bell_matvec
+    R = 50
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            return bell_matvec(blocks, nbr, c) * 1e-2, ()
+        return jax.lax.scan(body, x, None, length=R)[0]
+
+    x = jnp.zeros_like(rhs)
+    jax.block_until_ready(chain(x))
+    t0 = time.perf_counter()
+    jax.block_until_ready(chain(x))
+    mv_s = (time.perf_counter() - t0) / R
+    K, nd, _, nc = blocks.shape
+    bytes_per = 4 * nc * (K * nd * nd + 2 * nd + (K - 1) * nd) + 4 * nc * (K - 1)
+    ph["matvec_ms"] = mv_s * 1e3
+    ph["matvec_gbps"] = bytes_per / mv_s / 1e9
+    return {k: round(float(v), 4) for k, v in ph.items()}
+
+
 def main():
     import jax
 
@@ -102,6 +150,12 @@ def main():
 
     S, sp = build(mesh=mesh)
     t_dev = time_steps(S, sp, N_STEPS, f"device[{jax.default_backend()}]")
+    try:
+        phases = phase_breakdown(S, sp)
+        print(f"# phases: {phases}", file=sys.stderr)
+    except Exception as e:                            # pragma: no cover
+        print(f"# phase breakdown failed: {e}", file=sys.stderr)
+        phases = {}
 
     t_cpu = None
     try:
@@ -118,6 +172,7 @@ def main():
         "value": round(t_dev * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(vs, 3),
+        "phases": phases,
     }))
 
 

@@ -33,11 +33,13 @@ from .config import Ion, PhysicalParams, SolverParams, StimParams, ion_from_dict
 from .mesh.core import Mesh
 from .fem.tabulation import build_geometry, build_membrane_tables
 from .ops import assembly
-from .ops.spmv import bell_matvec, block_jacobi_apply, block_jacobi_inverse
-from .solvers.krylov import gmres, pcg
+from .ops.spmv import (bell_matvec, bell_matvec_multi,
+                       block_jacobi_apply, block_jacobi_inverse)
+from .solvers.krylov import gmres, gmres_batched, pcg
 from .solvers import direct as direct_solvers
 from .solvers.twolevel import (build_two_level, compartment_ids,
-                               make_two_level, two_level_apply_fn)
+                               make_two_level, two_level_apply_batched,
+                               two_level_apply_fn)
 from .membrane.engine import MembraneState, make_membrane, ode_step, set_param, get_param
 from .utils.stats import SolverStats, bcolors
 
@@ -520,25 +522,34 @@ class Solver:
         )
 
     def _knp_solve_all(self, blocksK, rhsK, c, sp_: SolverParams, pcK=None):
-        """Vmapped increment-form GMRES over the ion axis (jittable).
-        `pcK`: frozen coarse data stacked over the ion axis."""
+        """Batched increment-form GMRES over the ion axis (jittable): all
+        solved ions share one Krylov loop whose matvec issues a single
+        neighbor gather (ops/spmv.bell_matvec_multi) -- the gather is
+        per-index-cost-bound on TPU, so the extra ions ride along free.
+        `pcK`: frozen coarse data stacked over the ion axis.  Replaces the
+        reference's sequential per-ion KSP solves (solver.py:683-701)."""
         g = self.g
-
-        def solve_one(blocks, rhs, c_k, pck=None):
-            mv = lambda v: bell_matvec(blocks, g["nbr"], v)
-            r0 = rhs - mv(c_k)
-            res = gmres(
-                mv, r0, jnp.zeros_like(r0),
-                self._make_precond(blocks, blocks[0], sp_, sym=False, pc=pck),
-                rtol=sp_.rtol_knp, atol=sp_.atol_knp,
-                max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
-                b_ref=rhs,
-            )
-            return c_k + res.x, res.iters, res.converged
-
-        if pcK is None:
-            return jax.vmap(solve_one)(blocksK, rhsK, c)
-        return jax.vmap(solve_one)(blocksK, rhsK, c, pcK)
+        mv = lambda V: bell_matvec_multi(blocksK, g["nbr"], V)
+        kind = sp_.precond_knp or sp_.precond
+        if kind.startswith("two_level"):
+            data = pcK if pcK is not None else jax.vmap(
+                lambda b: build_two_level(
+                    b, g["nbr"], sp_.agg_size, sym=False,
+                    mass_diag=g["vol"] / self.params.dt,
+                )
+            )(blocksK)
+            pcf = two_level_apply_batched(data, blocksK[:, 0], sp_.agg_size)
+        else:
+            Pinv = jax.vmap(block_jacobi_inverse)(blocksK[:, 0])
+            pcf = lambda r: jnp.einsum("mijc,mjc->mic", Pinv, r)
+        r0 = rhsK - mv(c)
+        res = gmres_batched(
+            mv, r0, jnp.zeros_like(r0), pcf,
+            rtol=sp_.rtol_knp, atol=sp_.atol_knp,
+            max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
+            b_ref=rhsK,
+        )
+        return c + res.x, res.iters, res.converged
 
     # ------------------------------------------------------------------
     # Picard iteration (solver.py:850-927)

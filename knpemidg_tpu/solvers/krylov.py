@@ -234,3 +234,148 @@ def gmres(
     return KrylovResult(
         x=x.reshape(shape), iters=it, resnorm=rn, converged=rn <= tol
     )
+
+
+def gmres_batched(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    precond: Callable,
+    rtol: float,
+    atol: float,
+    max_it: int,
+    restart: int = 20,
+    b_ref: Optional[jnp.ndarray] = None,
+) -> KrylovResult:
+    """m independent GMRES solves sharing one Krylov loop.
+
+    `matvec`/`precond` act on the full batch (m, ...) -> (m, ...); `b`,
+    `x0`, `b_ref` carry the batch on axis 0.  Semantics per system are
+    identical to :func:`gmres` (left preconditioning, CGS2, Givens in-cycle
+    convergence); the batch shares control flow -- the Arnoldi loop runs
+    until EVERY system's residual estimate clears its tolerance, and
+    per-system `iters` counts only the steps that system actually needed
+    (its Hessenberg column updates freeze once converged, so extra shared
+    steps cannot perturb its solution).
+
+    Why not vmap(gmres): vmap puts the batch axis innermost in the matvec's
+    neighbor gather (3x slower, see ops/spmv.bell_matvec_multi) and would
+    run each system's while_loop in lockstep anyway.  Replaces the
+    reference's per-ion sequential PETSc KSP solves (solver.py:683-701)."""
+    mb = b.shape[0]
+    shape = b.shape
+    n = b.size // mb
+    bv = b.reshape(mb, n)
+
+    def Aop(v):
+        return precond(matvec(v.reshape(shape))).reshape(mb, n)
+
+    def res_of(x):
+        return precond((bv - matvec(x.reshape(shape)).reshape(mb, n))
+                       .reshape(shape)).reshape(mb, n)
+
+    def norms(v):                                     # (mb, n) -> (mb,)
+        return jnp.sqrt(jnp.einsum("sn,sn->s", v, v))
+
+    bz = precond((bv if b_ref is None else b_ref.reshape(mb, n))
+                 .reshape(shape)).reshape(mb, n)
+    tol = jnp.maximum(rtol * norms(bz), atol)
+    max_cycles = -(-max_it // restart)
+    m = restart
+    rdt = jnp.result_type(b.dtype, jnp.float32)
+
+    def cycle(x):
+        r = res_of(x)
+        beta = norms(r)
+        safe = jnp.where(beta > 0, beta, 1.0)
+        V = jnp.zeros((mb, m + 1, n), dtype=b.dtype)
+        V = V.at[:, 0].set(r / safe[:, None])
+        R = jnp.zeros((mb, m + 1, m), dtype=rdt)
+        g = jnp.zeros((mb, m + 1), dtype=rdt).at[:, 0].set(beta.astype(rdt))
+        cs = jnp.zeros((mb, m), dtype=rdt)
+        sn = jnp.zeros((mb, m), dtype=rdt)
+        ks = jnp.zeros(mb, dtype=jnp.int32)           # per-system step count
+
+        def arnoldi_cond(st):
+            j, V, R, g, cs, sn, ks = st
+            est = jnp.abs(jax.lax.dynamic_index_in_dim(g, j, axis=1,
+                                                       keepdims=False))
+            return (j < m) & jnp.any(est > tol)
+
+        def arnoldi_body(st):
+            j, V, R, g, cs, sn, ks = st
+            gj = jax.lax.dynamic_index_in_dim(g, j, axis=1, keepdims=False)
+            live = jnp.abs(gj) > tol                  # (mb,) systems stepping
+            ks = ks + live.astype(jnp.int32)
+            vj = jax.lax.dynamic_index_in_dim(V, j, axis=1, keepdims=False)
+            w = Aop(vj)
+            # CGS2 over the whole basis, batched skinny GEMMs (MXU)
+            h1 = jnp.einsum("skn,sn->sk", V, w)
+            w = w - jnp.einsum("sk,skn->sn", h1, V)
+            h2 = jnp.einsum("skn,sn->sk", V, w)
+            w = w - jnp.einsum("sk,skn->sn", h2, V)
+            hj1 = norms(w)
+            vnext = jnp.where((hj1 > 1e-300)[:, None],
+                              w / jnp.where(hj1 > 0, hj1, 1.0)[:, None], 0.0)
+            V = jax.vmap(lambda Vs, vs: Vs.at[j + 1].set(vs))(
+                V, jnp.where(live[:, None], vnext, 0.0))
+            h = (h1 + h2).astype(rdt)
+            h = jax.vmap(lambda hs, v: hs.at[j + 1].set(v))(
+                h, hj1.astype(rdt))
+            def rot(i, h):
+                keep = i < j
+                hi = cs[:, i] * h[:, i] + sn[:, i] * h[:, i + 1]
+                hi1 = -sn[:, i] * h[:, i] + cs[:, i] * h[:, i + 1]
+                h = h.at[:, i].set(jnp.where(keep, hi, h[:, i]))
+                return h.at[:, i + 1].set(jnp.where(keep, hi1, h[:, i + 1]))
+            h = jax.lax.fori_loop(0, m, rot, h)
+            hj = jax.lax.dynamic_index_in_dim(h, j, axis=1, keepdims=False)
+            hjp = jax.lax.dynamic_index_in_dim(h, j + 1, axis=1,
+                                               keepdims=False)
+            denom = jnp.sqrt(hj ** 2 + hjp ** 2)
+            dsafe = jnp.where(denom > 0, denom, 1.0)
+            c_new = jnp.where(denom > 0, hj / dsafe, 1.0)
+            s_new = jnp.where(denom > 0, hjp / dsafe, 0.0)
+            # freeze converged systems: identity rotation, masked updates
+            c_new = jnp.where(live, c_new, 1.0)
+            s_new = jnp.where(live, s_new, 0.0)
+            cs = cs.at[:, j].set(c_new)
+            sn = sn.at[:, j].set(s_new)
+            h = jax.vmap(lambda hs, d: hs.at[j].set(d).at[j + 1].set(0.0))(
+                h, jnp.where(live, denom, hj))
+            gnew_j1 = -s_new * gj
+            gnew_j = c_new * gj
+            g = g.at[:, j + 1].set(jnp.where(live, gnew_j1, 0.0))
+            g = g.at[:, j].set(jnp.where(live, gnew_j, gj))
+            R = jax.vmap(lambda Rs, hs, lv: Rs.at[:, j].set(
+                jnp.where(lv, hs, Rs[:, j])))(R, h, live)
+            return (j + 1, V, R, g, cs, sn, ks)
+
+        j, V, R, g, cs, sn, ks = jax.lax.while_loop(
+            arnoldi_cond, arnoldi_body,
+            (jnp.int32(0), V, R, g, cs, sn, ks))
+        used = jnp.arange(m)[None, :] < ks[:, None]   # (mb, m)
+        Rm = jnp.where(used[:, None, :] & used[:, :, None], R[:, :m, :m],
+                       jnp.eye(m, dtype=rdt)[None])
+        gm = jnp.where(used, g[:, :m], 0.0)
+        y = jax.vmap(lambda A, rhs: jax.scipy.linalg.solve_triangular(
+            A, rhs, lower=False))(Rm, gm)
+        u = jnp.einsum("sk,skn->sn", y.astype(b.dtype), V[:, :m])
+        return x + u, ks
+
+    def cond(state):
+        x, k, it = state
+        return jnp.any(norms(res_of(x)) > tol) & (k < max_cycles)
+
+    def body(state):
+        x, k, it = state
+        x, steps = cycle(x)
+        return (x, k + 1, it + steps)
+
+    x, k, it = jax.lax.while_loop(
+        cond, body, (x0.reshape(mb, n), jnp.int32(0),
+                     jnp.zeros(mb, dtype=jnp.int32)))
+    rn = norms(res_of(x))
+    return KrylovResult(
+        x=x.reshape(shape), iters=it, resnorm=rn, converged=rn <= tol
+    )

@@ -176,12 +176,17 @@ def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
 
 def two_level_apply_fn(data, P_diag, agg_size: int,
                        matvec: Callable | None = None,
-                       omega: float = 2.0 / 3.0) -> Callable:
+                       omega: float = 2.0 / 3.0,
+                       Pinv=None) -> Callable:
     """Per-solve preconditioner apply from frozen coarse `data` (see
     build_two_level) and the *current* block-Jacobi diagonal.  The apply is
     gather/scatter-free: reshape-sum restrict, broadcast prolong, skinny
-    matmuls for the compartment projection, dense GEMVs for the coarse."""
-    Pinv = block_jacobi_inverse(P_diag)
+    matmuls for the compartment projection, dense GEMVs for the coarse.
+
+    `Pinv`: optionally precomputed block-Jacobi inverse (hoisted out of a
+    vmap or solve loop); computed from `P_diag` otherwise."""
+    if Pinv is None:
+        Pinv = block_jacobi_inverse(P_diag)
     nd = P_diag.shape[0]
     nc = P_diag.shape[2]
     inv, s = data["inv"], data["s"]
@@ -232,6 +237,24 @@ def two_level_apply_fn(data, P_diag, agg_size: int,
         z = z + coarse(r1)
         r2 = r - matvec(z)
         return z + omega * block_jacobi_apply(Pinv, r2)
+
+    return apply
+
+
+def two_level_apply_batched(data, P_diag, agg_size: int) -> Callable:
+    """Batched (additive) two-level apply: `data` leaves and `P_diag` carry
+    a leading system axis m; the returned apply maps (m, nd, nc) ->
+    (m, nd, nc).  The block-Jacobi inverses are hoisted out of the per-
+    iteration closure so Krylov loops don't re-invert every apply.  Pairs
+    with krylov.gmres_batched / ops.spmv.bell_matvec_multi for the
+    multi-ion KNP solve."""
+    Pinv = jax.vmap(block_jacobi_inverse)(P_diag)
+
+    def apply(r):
+        return jax.vmap(
+            lambda d, Pd_s, Pi, rs: two_level_apply_fn(
+                d, Pd_s, agg_size, Pinv=Pi)(rs)
+        )(data, P_diag, Pinv, r)
 
     return apply
 
