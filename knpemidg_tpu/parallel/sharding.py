@@ -67,13 +67,141 @@ def _last_axis_spec(mesh, ndim):
     return NamedSharding(mesh, P(*([None] * (ndim - 1)), "cells"))
 
 
+def shard_partition(S, n_devices: int, align: int = 128):
+    """Geometric shard partition: cut the PURE-Morton order of cell
+    midpoints into `n_devices` equal contiguous blocks, then re-sort each
+    block by (compartment, original order).
+
+    The solver's global numbering is (compartment, Morton) -- ideal for the
+    contiguous-chunk coarse space, terrible for contiguous-range sharding:
+    an ICS cell's ECS neighbor lives in a far-away compartment block, so
+    every membrane facet becomes a remote reference (measured boundary
+    ~= half the shard on the EMIx brain mesh).  Sharding by spatial Morton
+    blocks keeps both sides of a membrane in one shard; re-sorting within
+    the shard preserves the never-straddle-a-membrane property of the
+    preconditioner's coarse chunks (solvers/twolevel.py) shard-locally.
+
+    Returns (perm, S_size): global permutation (new position -> old cell)
+    and the per-shard size before padding."""
+    from ..mesh.core import morton_order
+
+    mesh, comp = S.mesh, S._comp_np
+    mids = mesh.vertices[mesh.cells].mean(axis=1)
+    morton_perm = morton_order(mids)
+    nc = mesh.num_cells
+    size = _round_up(-(-nc // n_devices), align)
+    parts = []
+    for p in range(n_devices):
+        part = morton_perm[p * size: min((p + 1) * size, nc)]
+        parts.append(part[np.lexsort((part, comp[part]))])
+    return np.concatenate(parts), size
+
+
+def permute_cells(S, perm: np.ndarray):
+    """Renumber the solver's cell axis by `perm` (new position -> old id):
+    permutes every cell-indexed array and remaps every array whose VALUES
+    are cell ids (neighbor table, facet->cell and exterior-facet->cell
+    maps).  Records ``S._cell_perm`` so states can be mapped in
+    (shard_state) and out (unpad_state) of the sharded numbering."""
+    import jax.numpy as jnp
+
+    nc = perm.size
+    inv = np.empty(nc, dtype=np.int64)
+    inv[perm] = np.arange(nc)
+    g = dict(S.g)
+    for k in CELL_ARRAYS:
+        if k == "nbr" or k not in g:
+            continue
+        g[k] = jnp.asarray(np.asarray(g[k])[..., perm])
+    nbr = np.asarray(g["nbr"])
+    g["nbr"] = jnp.asarray(inv[nbr][:, perm])
+    for k in ("f_cp", "f_cm", "e_c"):
+        g[k] = jnp.asarray(inv[np.asarray(g[k])])
+    S.g = g
+    S.D = jnp.asarray(np.asarray(S.D)[:, perm])
+    S.rho = jnp.asarray(np.asarray(S.rho)[perm])
+    S._comp_np = S._comp_np[perm]
+    S._cell_perm = perm
+    S._cell_perm_inv = inv
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def pad_cell_axis(S, extra: int):
+    """Append `extra` inert cells to every cell-indexed array of solver `S`.
+
+    Padded cells are isolated unit cells: mean volume (so the KNP mass
+    diagonal and the coarse-level equilibration stay well-scaled), zero
+    gradients (no stiffness/convection -> decoupled rows), subdomain tag 0,
+    self-referential neighbors, quadrature points far outside the domain
+    (so spatial source/stimulus locators never select them), and a dummy
+    exterior facet in the cell->facet map.  Their EMI rows are zero (the
+    padded constant modes are removed by the masked nullspace projection,
+    solvers/krylov.pcg) and their KNP rows are pure mass (increments stay
+    ~0).  Replaces the round-1 ``n_cells % n_devices == 0`` restriction."""
+    if extra == 0:
+        return
+    import jax.numpy as jnp
+
+    g = dict(S.g)
+    far = float(np.abs(np.asarray(S.mesh.vertices)).max()) * 2.0 + 1.0
+    nf_dummy = int(g["f_area"].shape[-1]) - 1     # the padded dummy facet
+    fills = {"vol": float(np.asarray(g["vol"]).mean()), "diam": 1.0,
+             "cell_tag": 0, "cell_qp": far, "cell_mid": far,
+             "cf_idx": nf_dummy, "cf_is_plus": True}
+    for k in CELL_ARRAYS:
+        if k == "nbr" or k not in g:
+            continue
+        g[k] = jnp.asarray(_pad_last(g[k], extra, fills.get(k, 0)))
+    nbr = np.asarray(g["nbr"])
+    nc = nbr.shape[1]
+    self_idx = np.arange(nc, nc + extra, dtype=nbr.dtype)
+    g["nbr"] = jnp.asarray(np.concatenate(
+        [nbr, np.broadcast_to(self_idx, (nbr.shape[0], extra))], axis=1))
+    S.g = g
+    # D must stay positive at pads: kappa = F psi sum z^2 D c feeds the EMI
+    # preconditioner diagonal (assembly.py:320) -- a zero kappa row would
+    # make the block-Jacobi inverse singular
+    D = np.asarray(S.D)
+    S.D = jnp.asarray(np.concatenate(
+        [D, np.broadcast_to(D.mean(axis=1, keepdims=True),
+                            (D.shape[0], extra))], axis=1))
+    S.rho = jnp.asarray(_pad_last(S.rho, extra, 0.0))
+    oh, ids = S._comp_arrays()                    # built at the real size
+    S._comp_onehot = np.pad(oh, ((0, 0), (0, extra)))      # zero columns:
+    S._comp_ids = np.pad(ids, (0, extra))         # pads deflation-invisible
+    S._pad_mask = jnp.asarray(np.arange(nc + extra) < nc)
+
+
 def shard_solver(S, mesh: DeviceMesh):
-    """Place the solver's geometry/mask arrays with cell/facet shardings on
-    the trailing axis and return a function that shards a state pytree the
-    same way.  Requires n_cells divisible by the device count."""
+    """Shard solver `S` over the device mesh's 'cells' axis with explicit
+    halo exchange (parallel/halo.py) for the Krylov matvecs.
+
+    * pads the cell axis with inert cells to a per-shard size aligned to
+      128 (any device count / cell count combination works);
+    * builds the static send-list/halo metadata and installs the shard_map
+      matvec on the solver (``S._halo_mv``, used by ``Solver._matvec``);
+    * places geometry/mask arrays with trailing-axis shardings; assembly
+      and preconditioner applies stay GSPMD (they run once per step --
+      only the per-Krylov-iteration matvec needs the explicit ghost layer,
+      mirroring the reference's ghost_updates around each solve,
+      solver.py:529,789).
+
+    Returns ``shard_state``: pads + places a state pytree (call BEFORE
+    ``attach_pc`` so the frozen preconditioner is built at padded shapes)."""
+    from .halo import build_halo, halo_spmv_fn
+
     n = mesh.devices.size
     nc = S.n_cells
-    assert nc % n == 0, f"n_cells={nc} not divisible by {n} devices"
+    S._invalidate_caches()
+    perm, _ = shard_partition(S, n)          # geometric Morton blocks
+    permute_cells(S, perm)
+    halo = build_halo(np.asarray(S.g["nbr"]), n, align=128)
+    extra = int(halo["n_pad"]) - nc
+    pad_cell_axis(S, extra)
+    S.n_cells_pad = int(halo["n_pad"])
 
     S.g, S.masks = pad_facet_axis(S.g, S.masks, n, S.n_mem)
 
@@ -96,10 +224,21 @@ def shard_solver(S, mesh: DeviceMesh):
     for k in ("fidx", "mem_of_facet", "midpoints"):
         S.mem_dev[k] = jax.device_put(S.mem_dev[k], repl)
 
+    S._halo_mv = halo_spmv_fn(halo, mesh)
+
+    perm_j = jnp.asarray(perm)
+
     def shard_state(state):
         out = dict(state)
         for key in ("c", "c_elim", "phi"):
             v = state[key]
+            if v.shape[-1] == nc:                 # original numbering:
+                v = v[..., perm_j]                # remap to shard order
+                if extra:                         # pad with edge values
+                    v = jnp.concatenate(
+                        [v, jnp.broadcast_to(v[..., -1:],
+                                             v.shape[:-1] + (extra,))],
+                        axis=-1)
             out[key] = jax.device_put(v, _last_axis_spec(mesh, v.ndim))
         out["phi_M"] = jax.device_put(state["phi_M"], repl)
         out["I_ch"] = jax.device_put(state["I_ch"], repl)
@@ -111,3 +250,20 @@ def shard_solver(S, mesh: DeviceMesh):
         return out
 
     return shard_state
+
+
+def unpad_state(S, state):
+    """Strip the inert cell padding and undo the shard renumbering of a
+    sharded state pytree, returning fields in the solver's original cell
+    numbering (for I/O / comparison against single-device results)."""
+    import jax.numpy as jnp
+
+    nc = S.n_cells
+    inv = getattr(S, "_cell_perm_inv", None)
+    out = dict(state)
+    for key in ("c", "c_elim", "phi"):
+        v = state[key][..., :nc]
+        if inv is not None:
+            v = v[..., jnp.asarray(inv)]
+        out[key] = v
+    return out

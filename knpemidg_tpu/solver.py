@@ -37,8 +37,9 @@ from .ops.spmv import (bell_matvec, bell_matvec_multi,
                        block_jacobi_apply, block_jacobi_inverse)
 from .solvers.krylov import gmres, gmres_batched, pcg
 from .solvers import direct as direct_solvers
-from .solvers.twolevel import (build_two_level, compartment_ids,
-                               make_two_level, two_level_apply_batched,
+from .solvers.twolevel import (build_moment_deflation, build_two_level,
+                               compartment_ids, make_two_level,
+                               moment_vectors, two_level_apply_batched,
                                two_level_apply_fn)
 from .membrane.engine import MembraneState, make_membrane, ode_step, set_param, get_param
 from .utils.stats import SolverStats, bcolors
@@ -434,7 +435,7 @@ class Solver:
                 # ||c|| ~ 100 mM but per-step changes ~1e-2 mM, so solving
                 # for the increment pushes the f32 residual floor ~4 orders
                 # below the reference's rtol_knp = 1e-7 target
-                mv = lambda v: bell_matvec(blocks, self.g["nbr"], v)
+                mv = lambda v: self._matvec(blocks, v)
                 r0 = rhs - mv(c[k])
                 res = gmres(
                     mv, r0, jnp.zeros_like(r0),
@@ -460,13 +461,14 @@ class Solver:
         A d = b - A phi_0 around zero -- the f32 residual floor scales with
         ||d|| instead of ||phi||, while the tolerance stays relative to the
         full rhs (b_ref)."""
-        mv = lambda v: bell_matvec(blocks, self.g["nbr"], v)
+        mv = lambda v: self._matvec(blocks, v)
         r0 = rhs - mv(phi)
         res = pcg(
             mv, r0, jnp.zeros_like(phi),
             self._make_precond(blocks, Pd, sp_, sym=True, pc=pc),
             rtol=sp_.rtol_emi, atol=sp_.atol_emi, max_it=sp_.max_it_emi,
             project_nullspace=True, b_ref=rhs,
+            nullspace_mask=getattr(self, "_pad_mask", None),
         )
         return phi + res.x, res.iters, res.converged
 
@@ -529,7 +531,7 @@ class Solver:
         `pcK`: frozen coarse data stacked over the ion axis.  Replaces the
         reference's sequential per-ion KSP solves (solver.py:683-701)."""
         g = self.g
-        mv = lambda V: bell_matvec_multi(blocksK, g["nbr"], V)
+        mv = lambda V: self._matvec(blocksK, V)
         kind = sp_.precond_knp or sp_.precond
         if kind.startswith("two_level"):
             data = pcK if pcK is not None else jax.vmap(
@@ -776,6 +778,18 @@ class Solver:
             self._comp_ids = comp.astype(np.int32)
         return self._comp_onehot, self._comp_ids
 
+    def _matvec(self, blocks, v):
+        """Block-ELL operator apply; routed through the explicit-halo
+        shard_map pipeline (parallel/halo.py) when the solver has been
+        sharded over a device mesh, else the single-chip gather matvec.
+        Handles both single systems (nd, nc) and ion-batched (m, nd, nc)."""
+        mv = getattr(self, "_halo_mv", None)
+        if mv is not None:
+            return mv(blocks, v)
+        if v.ndim == 3:
+            return bell_matvec_multi(blocks, self.g["nbr"], v)
+        return bell_matvec(blocks, self.g["nbr"], v)
+
     def _make_precond(self, blocks, P_diag, sp_: SolverParams, sym: bool,
                       pc=None):
         """BoomerAMG stand-in: two-level aggregation preconditioner
@@ -790,7 +804,7 @@ class Solver:
         kind = sp_.precond if sym else (sp_.precond_knp or sp_.precond)
         if kind.startswith("two_level"):
             mv = (
-                (lambda v: bell_matvec(blocks, self.g["nbr"], v))
+                (lambda v: self._matvec(blocks, v))
                 if kind == "two_level_mult" else None
             )
             if pc is not None:
@@ -836,6 +850,9 @@ class Solver:
                 ),
             )
             pc["emi"] = build(blocks, Pd)
+            if sp_.emi_moment_order > 0:
+                pc["emi"] = dict(pc["emi"],
+                                 **self._emi_moment_data(blocks, sp_))
         kind_knp = sp_.precond_knp or sp_.precond
         if not sp_.direct_knp and kind_knp.startswith("two_level"):
             asm_knp = self._jit(
@@ -855,6 +872,28 @@ class Solver:
             )
             pc["knp"] = build_k(blocksK)
         return pc or None
+
+    def _emi_moment_data(self, blocks, sp_: SolverParams):
+        """Galerkin data for the per-compartment moment deflation
+        (solvers/twolevel.moment_vectors): coordinates follow the shard
+        renumbering/padding when the solver is sharded."""
+        coords = self.mesh.vertices[self.mesh.cells]       # (nc, nd, d)
+        comp = self._comp_np
+        perm = getattr(self, "_cell_perm", None)
+        if perm is not None:
+            coords = coords[perm]
+        extra = getattr(self, "n_cells_pad", coords.shape[0]) - coords.shape[0]
+        if extra:
+            coords = np.pad(coords, ((0, extra), (0, 0), (0, 0)))
+            comp = np.concatenate([comp, np.full(extra, -1, dtype=comp.dtype)])
+        W = moment_vectors(coords, comp, sp_.emi_moment_order,
+                           dtype=self.dtype)
+        build = self._jit(
+            ("pc_emi_mom", sp_.emi_moment_order),
+            lambda b, Wm: build_moment_deflation(
+                lambda v: bell_matvec(b, self.g["nbr"], v), Wm),
+        )
+        return build(blocks, W)
 
     def attach_pc(self, state, sp_: SolverParams):
         """Attach frozen preconditioner data to a state pytree (no-op if

@@ -44,6 +44,7 @@ def pcg(
     max_it: int,
     project_nullspace: bool = False,
     b_ref: Optional[jnp.ndarray] = None,
+    nullspace_mask: Optional[jnp.ndarray] = None,
 ) -> KrylovResult:
     """Preconditioned conjugate gradients.
 
@@ -61,8 +62,21 @@ def pcg(
     exactly the error that carries the physics; ||M^-1 r|| weights those
     modes by 1/lambda (the two-level M resolves them) and controls the
     solution error directly.
+
+    ``nullspace_mask``: boolean cell mask (broadcastable to the vector
+    shape) marking REAL cells when the cell axis carries inert padding
+    (sharded meshes, parallel/halo.py).  The constant mode of the padded
+    operator is ``1_real (+) 0_pad``, so the projection must average over
+    real entries only and zero the padded ones.
     """
-    proj = _project_constant if project_nullspace else (lambda v: v)
+    if nullspace_mask is not None and project_nullspace:
+        w = nullspace_mask.astype(b.dtype)
+        wsum = jnp.sum(w) * (b.size // nullspace_mask.size)
+
+        def proj(v):
+            return (v - jnp.sum(v * w) / wsum) * w
+    else:
+        proj = _project_constant if project_nullspace else (lambda v: v)
 
     b = proj(b)
     x0 = proj(x0)

@@ -90,6 +90,63 @@ def compartment_ids(mesh) -> np.ndarray:
     return _compartments(mesh)
 
 
+def moment_vectors(coords, comp, order: int = 2, dtype=None):
+    """Per-compartment polynomial moment fields for deflation enrichment.
+
+    ``coords`` (nc, nd, d): nodal (vertex) coordinates per cell; ``comp``
+    (nc,): compartment ids.  Returns W (nw, nd, nc): for every compartment,
+    the centered/scaled monomials {x,y,z} (order>=1) and {x^2,xy,...}
+    (order>=2), zero outside the compartment.  Constants are EXCLUDED --
+    they are handled exactly by the cancellation-free compartment deflation
+    (the moment Galerkin below is built by f32 matvecs, which is safe for
+    these bulk-scale modes but catastrophically cancellative for the tiny
+    membrane-scale constant modes).
+
+    Why: the compartment-constant deflation captures only the lowest
+    membrane-jump mode per cell; during an action-potential upstroke the
+    membrane sources excite higher surface harmonics whose eigenvalues sit
+    between the tiny constants and the bulk -- on the EMIx mesh the EMI CG
+    count at the upstroke drops 200 -> 12 with order=2 (hypre BoomerAMG
+    territory, reference solver.py:425-444)."""
+    import numpy as np
+
+    comp = np.asarray(comp)
+    nc, nd, d = coords.shape
+    rows = []
+    for p in range(int(comp.max()) + 1):
+        m = comp == p
+        sel = coords[m]
+        ctr = sel.mean(axis=(0, 1))
+        L = float(np.abs(sel - ctr).max()) or 1.0
+        loc = (coords - ctr) / L                   # (nc, nd, d)
+        base = []
+        if order >= 1:
+            base += [loc[:, :, a] for a in range(d)]
+        if order >= 2:
+            base += [loc[:, :, a] * loc[:, :, b]
+                     for a in range(d) for b in range(a, d)]
+        for f in base:
+            rows.append(np.where(m[:, None], f, 0.0).T)    # (nd, nc)
+    W = np.stack(rows) if rows else np.zeros((0, nd, nc))
+    return jnp.asarray(W, dtype=dtype)
+
+
+def build_moment_deflation(matvec, W, ridge: float = 1e-6):
+    """Galerkin data for the moment-deflation correction: ``W (nw, nd, nc)``
+    deflation fields, ``matvec`` the (current) operator apply on a single
+    (nd, nc) field.  Returns arrays to merge into the two-level data dict."""
+    AW = jax.vmap(matvec)(W)
+    Am = jnp.einsum("wic,vic->wv", W, AW)
+    Am = 0.5 * (Am + Am.T)
+    dm = jnp.diagonal(Am)
+    sm = jax.lax.rsqrt(jnp.maximum(dm, 1e-30 * jnp.max(dm)))
+    As = Am * sm[:, None] * sm[None, :]
+    As = As + ridge * jnp.eye(As.shape[0], dtype=As.dtype)
+    fac = jax.scipy.linalg.cho_factor(As)
+    inv = jax.scipy.linalg.cho_solve(fac, jnp.eye(As.shape[0], dtype=As.dtype))
+    return {"mom_W": W, "mom_inv": inv, "mom_s": sm}
+
+
 def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
                     comp_onehot=None, comp_ids=None, extra_diag=None,
                     mass_diag=None):
@@ -215,6 +272,10 @@ def two_level_apply_fn(data, P_diag, agg_size: int,
             zc = zc + invc @ (rsc - Asc @ zc)
             return sc * zc
 
+    mom = "mom_W" in data
+    if mom:
+        Wm, inv_m, s_m = data["mom_W"], data["mom_inv"], data["mom_s"]
+
     def coarse(r):
         rs = r.sum(axis=0)                               # (nc,)
         rc = jnp.pad(rs, (0, pad)).reshape(n_agg, agg_size).sum(axis=1)
@@ -224,7 +285,11 @@ def two_level_apply_fn(data, P_diag, agg_size: int,
         ).reshape(-1)[:nc]
         if comp:
             z = z + comp_solve(OH @ rs) @ OH
-        return jnp.broadcast_to(z[None, :], (nd, nc))
+        out = jnp.broadcast_to(z[None, :], (nd, nc))
+        if mom:
+            rw = s_m * jnp.einsum("wic,ic->w", Wm, r)
+            out = out + jnp.einsum("w,wic->ic", s_m * (inv_m @ rw), Wm)
+        return out
 
     if matvec is None:
         def apply(r):                      # additive: BJ + coarse (+ comp)

@@ -1,0 +1,115 @@
+"""Explicit halo-exchange matvec (parallel/halo.py): exactness against the
+single-device block-ELL matvec, inert padding, and collective-volume bound.
+
+This is the TPU-native analog of the reference's ghost-layer machinery
+(dlt_dof_extraction.py:41-46, ghost updates solver.py:529,789)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from knpemidg_tpu.ops.spmv import bell_matvec, bell_matvec_multi
+from knpemidg_tpu.parallel.halo import build_halo, halo_spmv_fn
+
+
+def _random_bell(rng, nc, nd, K, spread=40):
+    """Morton-like banded random graph (slot 0 = self)."""
+    nbr = np.vstack([
+        np.arange(nc),
+        np.clip(np.arange(nc) + rng.integers(-spread, spread, size=(K - 1, nc)),
+                0, nc - 1),
+    ])
+    blocks = rng.normal(size=(K, nd, nd, nc)).astype(np.float32)
+    return blocks, nbr
+
+
+def _shard(mesh, a):
+    spec = P(*([None] * (a.ndim - 1)), "cells")
+    return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+
+@pytest.mark.parametrize("nc", [1111, 1024])
+def test_halo_matvec_matches_dense(nc):
+    """Sharded halo matvec == single-device matvec, divisible or not."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(3)
+    nd, K = 4, 5
+    blocks, nbr = _random_bell(rng, nc, nd, K)
+    x = rng.normal(size=(nd, nc)).astype(np.float32)
+    y_ref = bell_matvec(jnp.asarray(blocks), jnp.asarray(nbr.astype(np.int32)),
+                        jnp.asarray(x))
+
+    halo = build_halo(nbr, 8, align=16)
+    npad = halo["n_pad"] - nc
+    mesh = Mesh(np.array(jax.devices()[:8]), ("cells",))
+    bp = _shard(mesh, np.pad(blocks, ((0, 0),) * 3 + ((0, npad),)))
+    xp = _shard(mesh, np.pad(x, ((0, 0), (0, npad))))
+    mv = halo_spmv_fn(halo, mesh)
+    y = jax.jit(mv)(bp, xp)
+    np.testing.assert_allclose(np.asarray(y[:, :nc]), np.asarray(y_ref),
+                               rtol=1e-6, atol=1e-6)
+    # padding (if any) is inert
+    if npad:
+        assert float(jnp.abs(y[:, nc:]).max()) == 0.0
+
+
+def test_halo_matvec_batched():
+    """Multi-system (KNP ion-batched) halo matvec."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(4)
+    nc, nd, K, m = 999, 4, 5, 2
+    _, nbr = _random_bell(rng, nc, nd, K)
+    blocks = rng.normal(size=(m, K, nd, nd, nc)).astype(np.float32)
+    x = rng.normal(size=(m, nd, nc)).astype(np.float32)
+    y_ref = bell_matvec_multi(jnp.asarray(blocks),
+                              jnp.asarray(nbr.astype(np.int32)), jnp.asarray(x))
+    halo = build_halo(nbr, 8, align=16)
+    npad = halo["n_pad"] - nc
+    mesh = Mesh(np.array(jax.devices()[:8]), ("cells",))
+    bp = _shard(mesh, np.pad(blocks, ((0, 0),) * 4 + ((0, npad),)))
+    xp = _shard(mesh, np.pad(x, ((0, 0), (0, 0), (0, npad))))
+    y = jax.jit(halo_spmv_fn(halo, mesh))(bp, xp)
+    np.testing.assert_allclose(np.asarray(y[:, :, :nc]), np.asarray(y_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_halo_collective_volume():
+    """The exchanged boundary block must be far smaller than a full
+    all-gather of the state (the round-1 GSPMD fallback): with the
+    geometric (Morton-block) shard partition, the halo is a surface while
+    the state is a volume."""
+    import types
+    from knpemidg_tpu.mesh.generators import box_3d_axons
+    from knpemidg_tpu.mesh.core import _compartments
+    from knpemidg_tpu.fem.tabulation import build_geometry
+    from knpemidg_tpu.parallel.sharding import shard_partition
+
+    mesh = box_3d_axons(0)
+    g = build_geometry(mesh, 2, 2)
+    nbr = np.asarray(g.nbr).T                    # (K, nc)
+    fake = types.SimpleNamespace(mesh=mesh, _comp_np=_compartments(mesh))
+    perm, _ = shard_partition(fake, 8)
+    inv = np.empty(perm.size, dtype=np.int64)
+    inv[perm] = np.arange(perm.size)
+    halo = build_halo(inv[nbr][:, perm], 8)
+    vol_halo = 8 * halo["B"]                     # cells exchanged per matvec
+    # surface/volume: B ~ (nc/ndev)^(2/3); on this small box the ratio is
+    # ~3.6x and grows with mesh size (6.9x on the 121,617-tet EMIx mesh)
+    assert vol_halo * 3 < halo["n_pad"], (
+        f"halo volume {vol_halo} not << all-gather {halo['n_pad']}"
+    )
+    # the geometric partition must beat the naive (compartment-major) one
+    naive = build_halo(nbr, 8)
+    assert halo["B"] < naive["B"]
+    # remap covers every stencil entry and stays in bounds
+    S, B = halo["S"], halo["B"]
+    assert halo["nbr_local"].max() < S + 8 * B
+    assert halo["nbr_local"].min() >= 0
