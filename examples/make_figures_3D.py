@@ -9,7 +9,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-from knpemidg_tpu.postprocess import Results, write_vtu
+from knpemidg_tpu.postprocess import Results, export_pvd, write_vtu
 
 
 def main(fname="results/data/3D/", out="results/figures/3D/"):
@@ -51,6 +51,9 @@ def main(fname="results/data/3D/", out="results/figures/3D/"):
     fr = res.frame(res.n_frames - 1)
     write_vtu(out + "final.vtk", res.mesh,
               {"phi": fr["phi"], "K": fr["c"][0], "Na": fr["c_elim"]})
+    # ParaView time series (reference write_to_pvd: pot/K/Na/Cl XDMF series,
+    # make_figures_rat_neuron.py:31-91)
+    export_pvd(res, out + "timeseries.pvd")
     res.close()
     print(f"figures written to {out}")
 

@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Figures for the astrocyte-tortuosity run (reference: local-astrocyte-
 depolarization/make_figures.py): ECS potassium spread around the ROI,
-glial membrane depolarization, line profiles through the injection site."""
+glial membrane depolarization, line profiles through the injection site,
+the space-time K+ wave map (reference plot_surface_time), and a ParaView
+time series (reference write_to_pvd)."""
 import os
 import sys
 
@@ -9,7 +11,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-from knpemidg_tpu.postprocess import Results, write_vtu
+from knpemidg_tpu.postprocess import Results, export_pvd, write_vtu
 
 
 def main(fname="results/data/astro-tortuosity/",
@@ -54,8 +56,28 @@ def main(fname="results/data/astro-tortuosity/",
     fig.tight_layout()
     fig.savefig(out + "summary.svg")
 
+    # space-time K+ wave map: ECS [K] along the x-line through the ROI for
+    # every stored frame (reference make_figures.py plot_surface_time --
+    # the spatial-spread map of the K+ wave)
+    nfr = res.n_frames
+    waves = np.empty((nfr, 200))
+    for i in range(nfr):
+        _, waves[i] = res.sample_line(res.frame(i)["c"][0], lo, hi)
+    fig2, ax = plt.subplots(figsize=(6, 4))
+    im = ax.imshow(
+        waves, aspect="auto", origin="lower", cmap="magma",
+        extent=[lo[0] * 1e7, hi[0] * 1e7, res.times[0], res.times[-1]],
+    )
+    ax.set_xlabel("x (nm)")
+    ax.set_ylabel("t (ms)")
+    fig2.colorbar(im, ax=ax, label="[K]$_e$ (mM)")
+    fig2.tight_layout()
+    fig2.savefig(out + "k_wave_spacetime.svg")
+
     write_vtu(out + "final.vtk", res.mesh,
               {"phi": fr["phi"], "K": fr["c"][0], "Na": fr["c"][1]})
+    # ParaView time series of all fields (open out/timeseries.pvd)
+    export_pvd(res, out + "timeseries.pvd", ion_names=("K", "Na"))
     res.close()
     print(f"figures written to {out}")
 

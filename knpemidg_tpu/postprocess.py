@@ -133,6 +133,118 @@ class Results:
         self.r.close()
 
 
+def vertex_average(mesh: Mesh, field: np.ndarray) -> np.ndarray:
+    """Average a DG1 field (nc, nd) onto mesh vertices -> (nv,): the
+    continuous visualization proxy ParaView expects as point data."""
+    field = np.asarray(field)
+    nv = mesh.vertices.shape[0]
+    acc = np.zeros(nv)
+    cnt = np.zeros(nv)
+    np.add.at(acc, mesh.cells.ravel(), field.ravel())
+    np.add.at(cnt, mesh.cells.ravel(), 1.0)
+    return acc / np.maximum(cnt, 1.0)
+
+
+def write_vtu_xml(filename: str, mesh: Mesh,
+                  cell_fields: Dict[str, np.ndarray] = None,
+                  point_fields: Dict[str, np.ndarray] = None):
+    """XML-format .vtu export (the piece format PVD collections reference).
+
+    DG1 (nc, nd) fields are written twice: cell means as CellData and
+    vertex averages as PointData; (nc,)/(nv,) arrays pass through."""
+    cell_fields = cell_fields or {}
+    point_fields = point_fields or {}
+    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+    nv, d = mesh.vertices.shape
+    nc, nd = mesh.cells.shape
+    vtk_type = 5 if d == 2 else 10
+    verts3 = np.hstack([mesh.vertices, np.zeros((nv, 3 - d))])
+
+    def arr(f, a, name, typ, ncomp=1):
+        f.write(f'<DataArray type="{typ}" Name="{name}" '
+                f'NumberOfComponents="{ncomp}" format="ascii">\n')
+        np.savetxt(f, np.asarray(a).reshape(-1, ncomp),
+                   fmt="%d" if typ.startswith(("Int", "UInt")) else "%.9g")
+        f.write("</DataArray>\n")
+
+    with open(filename, "w") as f:
+        f.write('<?xml version="1.0"?>\n'
+                '<VTKFile type="UnstructuredGrid" version="0.1" '
+                'byte_order="LittleEndian">\n<UnstructuredGrid>\n'
+                f'<Piece NumberOfPoints="{nv}" NumberOfCells="{nc}">\n')
+        f.write("<Points>\n")
+        arr(f, verts3, "Points", "Float64", 3)
+        f.write("</Points>\n<Cells>\n")
+        arr(f, mesh.cells, "connectivity", "Int64")
+        arr(f, (np.arange(nc) + 1) * nd, "offsets", "Int64")
+        arr(f, np.full(nc, vtk_type), "types", "UInt8")
+        f.write("</Cells>\n<CellData>\n")
+        arr(f, mesh.cell_tags, "subdomain", "Int32")
+        for name, a in cell_fields.items():
+            a = np.asarray(a)
+            arr(f, a.mean(axis=1) if a.ndim == 2 else a, name, "Float64")
+        f.write("</CellData>\n<PointData>\n")
+        for name, a in point_fields.items():
+            a = np.asarray(a)
+            arr(f, vertex_average(mesh, a) if a.ndim == 2 else a,
+                name, "Float64")
+        f.write("</PointData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
+
+
+class PVDWriter:
+    """ParaView time-series export: a .pvd collection of per-frame .vtu
+    files (reference ``write_to_pvd``, rat-neuron make_figures:31-91 --
+    there via FEniCS XDMF; the collection/piece structure is the same).
+
+    >>> w = PVDWriter("out/run.pvd")
+    >>> w.write(mesh, t, cell_fields={"phi": phi}, point_fields={"K": cK})
+    >>> w.close()
+    """
+
+    def __init__(self, path: str):
+        assert path.endswith(".pvd")
+        self.path = path
+        self.stem = os.path.splitext(os.path.basename(path))[0]
+        self.dir = os.path.dirname(path) or "."
+        os.makedirs(self.dir, exist_ok=True)
+        self.entries = []
+
+    def write(self, mesh: Mesh, time: float, cell_fields=None,
+              point_fields=None):
+        rel = f"{self.stem}_{len(self.entries):06d}.vtu"
+        write_vtu_xml(os.path.join(self.dir, rel), mesh,
+                      cell_fields=cell_fields, point_fields=point_fields)
+        self.entries.append((float(time), rel))
+
+    def close(self):
+        with open(self.path, "w") as f:
+            f.write('<?xml version="1.0"?>\n'
+                    '<VTKFile type="Collection" version="0.1" '
+                    'byte_order="LittleEndian">\n<Collection>\n')
+            for t, rel in self.entries:
+                f.write(f'<DataSet timestep="{t:.10g}" group="" part="0" '
+                        f'file="{rel}"/>\n')
+            f.write("</Collection>\n</VTKFile>\n")
+
+
+def export_pvd(results: "Results", path: str, ion_names=None, frames=None):
+    """Dump a results.h5 run as a ParaView time series: phi plus every
+    stored concentration (plus the eliminated ion), vertex-averaged point
+    data and cell-mean data per frame."""
+    w = PVDWriter(path)
+    frames = range(results.n_frames) if frames is None else frames
+    for i in frames:
+        fr = results.frame(i)
+        fields = {"phi": fr["phi"], "c_elim": fr["c_elim"]}
+        for k, ck in enumerate(fr["c"]):
+            name = ion_names[k] if ion_names else f"c{k}"
+            fields[name] = ck
+        w.write(results.mesh, results.times[i], cell_fields=fields,
+                point_fields=fields)
+    w.close()
+    return w.path
+
+
 def write_vtu(filename: str, mesh: Mesh, cell_fields: Dict[str, np.ndarray] = None,
               point_like_fields: Dict[str, np.ndarray] = None):
     """Legacy-VTK unstructured grid export for ParaView.

