@@ -6,6 +6,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
+from . import basis as fe
 from .quadrature import simplex_rule
 from ..mesh.core import Mesh
 
@@ -30,7 +31,9 @@ def l2_error(
 ):
     """|| u_h - exact - shift ||_L2 over a subdomain (or everywhere)."""
     qp, lam, w, vol = _cell_quad(mesh, degree)
-    uh = np.einsum("qi,ci->cq", lam, np.asarray(u, dtype=np.float64))
+    u = np.asarray(u, dtype=np.float64)
+    k = 1 if u.shape[1] == mesh.dim + 1 else 2     # infer field degree
+    uh = np.einsum("qa,ca->cq", fe.values(lam, k), u)
     ue = exact(qp)
     err2 = np.einsum("q,cq->c", w, (uh - ue - shift) ** 2) * vol
     if subdomain is not None:
@@ -45,7 +48,9 @@ def integral(mesh: Mesh, values: Callable[[np.ndarray], np.ndarray], degree: int
     if callable(values):
         vq = values(qp)
     else:
-        vq = np.einsum("qi,ci->cq", lam, np.asarray(values, dtype=np.float64))
+        values = np.asarray(values, dtype=np.float64)
+        k = 1 if values.shape[1] == mesh.dim + 1 else 2
+        vq = np.einsum("qa,ca->cq", fe.values(lam, k), values)
     v = np.einsum("q,cq->c", w, vq) * vol
     if subdomain is not None:
         v = v[mesh.cell_tags == subdomain]

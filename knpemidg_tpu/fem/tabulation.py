@@ -16,6 +16,7 @@ from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
+from . import basis as fe
 from .quadrature import simplex_rule
 from ..mesh.core import Mesh
 
@@ -26,11 +27,14 @@ class Geometry:
     carry one extra zero/dummy row at index ``nf`` so gather maps can pad."""
 
     d: int
-    nd: int                    # dofs per cell for DG1 = d+1
+    nd: int                    # dofs per cell: binom(d+degree, degree)
 
     # cells -----------------------------------------------------------------
     vol: np.ndarray            # (nc,)
-    G: np.ndarray              # (nc, nd, d): physical gradients of P1 basis
+    G: np.ndarray              # (nc, d+1, d): barycentric (P1) gradients;
+                               # for degree 1 these ARE the basis gradients,
+                               # for degree>=2 per-point gradients compose as
+                               # A_c @ G (fem/basis.grad_coeffs)
     diam: np.ndarray           # (nc,) cell diameter (max vertex distance)
     cell_tag: np.ndarray       # (nc,) int32
     cell_qp: np.ndarray        # (nc, nq_c, d) physical cell quad points
@@ -64,6 +68,13 @@ class Geometry:
     cf_is_plus: np.ndarray     # (nc, d+1) bool
     nbr: np.ndarray            # (nc, d+2): [self, neighbor across facet l...]
 
+    # degree-aware extras -------------------------------------------------------
+    degree: int = 1
+    nodes: np.ndarray = None   # (nc, nd, d) physical Lagrange node coords
+    A_c: np.ndarray = None     # (nq_c, nd, d+1) grad coeffs at cell qp
+    f_gnp: np.ndarray = None   # (nf+1, nq_f, nd) n.grad(basis), plus side
+    f_gnm: np.ndarray = None   # (nf+1, nq_f, nd) (degree >= 2 only)
+
     # Arrays whose leading cell/facet axis is moved LAST on device.
     # TPU layouts tile the trailing two dims to (8 sublanes, 128 lanes):
     # a (240k, 4, 4) block tensor pads 32x (observed: 14.7MB -> 469MB),
@@ -73,6 +84,7 @@ class Geometry:
     _CELLS_LAST = {
         "G", "cell_qp", "cell_mid", "f_Rp", "f_Rm", "f_n", "f_qp", "f_mid",
         "e_R", "e_n", "e_qp", "cf_idx", "cf_is_plus", "nbr",
+        "nodes", "f_gnp", "f_gnm",
     }
 
     def to_device(self, dtype=np.float64):
@@ -83,6 +95,8 @@ class Geometry:
         out = {}
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
+            if v is None:
+                continue
             if isinstance(v, np.ndarray):
                 if f.name in self._CELLS_LAST and v.ndim > 1:
                     v = np.moveaxis(v, 0, -1)
@@ -107,27 +121,34 @@ def _barycentric_matrices(vertices, cells):
     return np.linalg.inv(M), M
 
 
-def build_geometry(mesh: Mesh, quad_degree_cell: int = 4, quad_degree_facet: int = 4) -> Geometry:
+def build_geometry(mesh: Mesh, quad_degree_cell: int = 4,
+                   quad_degree_facet: int = 4, degree: int = 1) -> Geometry:
     d = mesh.dim
-    nd = d + 1
+    nd1 = d + 1                                   # barycentric count
+    nd = fe.n_basis(d, degree)
+    # mass/penalty exactness requires quadrature degree >= 2*degree
+    quad_degree_cell = max(quad_degree_cell, 2 * degree)
+    quad_degree_facet = max(quad_degree_facet, 2 * degree)
     verts, cells = mesh.vertices, mesh.cells
     nc = mesh.num_cells
 
     Minv, M = _barycentric_matrices(verts, cells)
-    G = Minv[:, :, :d].copy()                     # (nc, nd, d)
+    G = Minv[:, :, :d].copy()                     # (nc, d+1, d)
     detM = np.linalg.det(M)
     vol = np.abs(detM) / math.factorial(d)
 
-    x = verts[cells]                              # (nc, nd, d)
+    x = verts[cells]                              # (nc, d+1, d)
     diam = np.zeros(nc)
-    for i in range(nd):
-        for j in range(i + 1, nd):
+    for i in range(nd1):
+        for j in range(i + 1, nd1):
             diam = np.maximum(diam, np.linalg.norm(x[:, i] - x[:, j], axis=1))
     cell_mid = x.mean(axis=1)
 
-    lam_c, w_c = simplex_rule(nd, quad_degree_cell)
+    lam_c, w_c = simplex_rule(nd1, quad_degree_cell)
     cell_qp = np.einsum("qi,cid->cqd", lam_c, x)
-    Phi_c = lam_c                                  # P1 basis == barycentric
+    Phi_c = fe.values(lam_c, degree)               # (nq_c, nd)
+    A_c = fe.grad_coeffs(lam_c, degree) if degree > 1 else None
+    nodes = fe.nodes_physical(verts, cells, degree)
 
     # --- interior facets -----------------------------------------------------
     nf = mesh.num_interior_facets
@@ -140,12 +161,16 @@ def build_geometry(mesh: Mesh, quad_degree_cell: int = 4, quad_degree_facet: int
     cp = mesh.if_cells[:, 0]
     cm = mesh.if_cells[:, 1]
 
-    def traces(cell_ids, qp):
-        """P1 basis of cell at physical points -> (n, nq, nd)."""
-        Mi = Minv[cell_ids]                        # (n, nd, nd)
+    def lam_at(cell_ids, qp):
+        """Barycentric coords of physical points wrt cells -> (n, nq, d+1)."""
+        Mi = Minv[cell_ids]                        # (n, d+1, d+1)
         ones = np.ones(qp.shape[:2] + (1,))
-        xh = np.concatenate([qp, ones], axis=2)    # (n, nq, nd)
+        xh = np.concatenate([qp, ones], axis=2)    # (n, nq, d+1)
         return np.einsum("nij,nqj->nqi", Mi, xh)
+
+    def traces(cell_ids, qp):
+        """Basis values of cell at physical points -> (n, nq, nd)."""
+        return fe.values(lam_at(cell_ids, qp), degree)
 
     f_Rp = traces(cp, f_qp)
     f_Rm = traces(cm, f_qp)
@@ -189,6 +214,17 @@ def build_geometry(mesh: Mesh, quad_degree_cell: int = 4, quad_degree_facet: int
         shape = (1,) + a.shape[1:]
         return np.concatenate([a, np.full(shape, fill, dtype=a.dtype)])
 
+    f_gnp_p = f_gnm_p = None
+    if degree > 1:
+        # n . grad(basis) per facet quad point and side: grad phi_a(x_q) =
+        # sum_i A[q,a,i] G[cell,i,:] (fem/basis.grad_coeffs)
+        Ap = fe.grad_coeffs(lam_at(cp, f_qp), degree)   # (nf, nq, nd, d+1)
+        Am = fe.grad_coeffs(lam_at(cm, f_qp), degree)
+        gp = np.einsum("fqai,fid->fqad", Ap, G[cp])
+        gm = np.einsum("fqai,fid->fqad", Am, G[cm])
+        f_gnp_p = pad(np.einsum("fqad,fd->fqa", gp, n))
+        f_gnm_p = pad(np.einsum("fqad,fd->fqa", gm, n))
+
     f_cp = pad(cp.astype(np.int64))
     f_cm = pad(cm.astype(np.int64))
     f_n = pad(n)
@@ -218,6 +254,7 @@ def build_geometry(mesh: Mesh, quad_degree_cell: int = 4, quad_degree_facet: int
         e_tag=mesh.ef_tags.astype(np.int32),
         cf_idx=cf.astype(np.int64), cf_is_plus=is_p,
         nbr=nbr.astype(np.int64),
+        degree=degree, nodes=nodes, A_c=A_c, f_gnp=f_gnp_p, f_gnm=f_gnm_p,
     )
 
 

@@ -49,9 +49,17 @@ def precompute_static(g):
       M0 (nd, nd), phibar (nd,) reference-cell mass factors
     """
     g = dict(g)
-    g["GG"] = jnp.einsum("idc,jdc->ijc", g["G"], g["G"])
-    g["gnp"] = jnp.einsum("df,idf->if", g["f_n"], g["G"][:, :, g["f_cp"]])
-    g["gnm"] = jnp.einsum("df,idf->if", g["f_n"], g["G"][:, :, g["f_cm"]])
+    if _degree(g) == 1:
+        g["GG"] = jnp.einsum("idc,jdc->ijc", g["G"], g["G"])
+        g["gnp"] = jnp.einsum("df,idf->if", g["f_n"], g["G"][:, :, g["f_cp"]])
+        g["gnm"] = jnp.einsum("df,idf->if", g["f_n"], g["G"][:, :, g["f_cm"]])
+    else:
+        # per-quad-point physical gradients (nq, nd, d, nc) and the
+        # quadrature-exact stiffness tensor for constant-per-cell coefficients
+        Gq = _Gq(g)
+        g["GG2"] = jnp.einsum("q,qadc,qbdc->abc", g["w_c"], Gq, Gq)
+        g["gnp"] = g["f_gnp"]                # (nq, nd, nf+1), tabulated
+        g["gnm"] = g["f_gnm"]
     w, Rp, Rm = g["w_f"], g["f_Rp"], g["f_Rm"]
     g["E_pp"] = jnp.einsum("q,qif,qjf->ijf", w, Rp, Rp)
     g["E_pm"] = jnp.einsum("q,qif,qjf->ijf", w, Rp, Rm)
@@ -62,14 +70,28 @@ def precompute_static(g):
     return g
 
 
+def _degree(g) -> int:
+    return int(g.get("degree", 1))
+
+
+def _Gq(g):
+    """Per-quad-point physical basis gradients (nq, nd, d, nc): the
+    degree->=2 generalization of the constant-per-cell g['G'] (fem/basis)."""
+    return jnp.einsum("qai,idc->qadc", g["A_c"], g["G"])
+
+
 def _GG(g):
     return g["GG"] if "GG" in g else jnp.einsum("idc,jdc->ijc", g["G"], g["G"])
 
 
 def _gn(g, side):
+    """n.grad(basis) per facet side: (nd, nf+1) for degree 1 (constant on
+    the facet), (nq, nd, nf+1) for degree >= 2."""
     key = "gnp" if side == "p" else "gnm"
     if key in g:
         return g[key]
+    if _degree(g) > 1:
+        return g["f_gnp" if side == "p" else "f_gnm"]
     c = g["f_cp"] if side == "p" else g["f_cm"]
     return jnp.einsum("df,idf->if", g["f_n"], g["G"][:, :, c])
 
@@ -147,6 +169,9 @@ def _sip_blocks(g, kp, km, gnp, gnm, tau_over_h, sip_mask, pen_p=None, pen_m=Non
 
     # -<avg(k grad u).n, [v]>
     def term1(sign_v, R_v, k_u, gn_u):
+        if gn_u.ndim == 3:                    # degree >= 2: gn per qp
+            return sign_v * (-0.5) * area * jnp.einsum(
+                "q,qif,qf,qjf->ijf", w, R_v, k_u, gn_u)
         s = jnp.einsum("q,qif,qf->if", w, R_v, k_u)          # (nd, nf)
         return sign_v * (-0.5) * area * s[:, None, :] * gn_u[None, :, :]
 
@@ -245,7 +270,13 @@ def assemble_emi(
     # --- cell term: int kappa grad(u).grad(v) ------------------------------
     kbar = jnp.einsum("i,ic->c", g["phibar"], kappa) if "phibar" in g else \
         jnp.einsum("q,qc->c", g["w_c"], jnp.einsum("qi,ic->qc", g["Phi_c"], kappa))
-    A_cell = (g["vol"] * kbar) * _GG(g)
+    if _degree(g) == 1:
+        A_cell = (g["vol"] * kbar) * _GG(g)
+    else:
+        kq = jnp.einsum("qa,ac->qc", g["Phi_c"], kappa)
+        Gq = _Gq(g)
+        A_cell = g["vol"] * jnp.einsum("q,qc,qadc,qbdc->abc",
+                                       g["w_c"], kq, Gq, Gq)
 
     # --- facet traces of kappa ---------------------------------------------
     kp = facet_trace(g, kappa, "p")                          # (nq, nf+1)
@@ -265,15 +296,27 @@ def assemble_emi(
     blocks = gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
 
     # --- rhs: diffusive terms, all ions -------------------------------------
-    gradc = jnp.einsum("idc,kic->kdc", g["G"], c)            # (n_ions, d, nc)
-    flux = jnp.einsum("k,kc,kdc->dc", z, D, gradc)           # sum_k z D grad c
-    b_cell = -F * g["vol"] * jnp.einsum("dc,idc->ic", flux, g["G"])
-
-    fp = jnp.einsum("df,df->f", flux[:, g["f_cp"]], g["f_n"])
-    fm = jnp.einsum("df,df->f", flux[:, g["f_cm"]], g["f_n"])
-    favg = 0.5 * F * (fp + fm) * sip                          # (nf+1,)
     ones = jnp.ones_like(g["f_Rp"][:, 0, :])                  # (nq, nf+1)
-    b_p, b_m = _test_integrals(g, favg[None, :] * ones, -favg[None, :] * ones)
+    if _degree(g) == 1:
+        gradc = jnp.einsum("idc,kic->kdc", g["G"], c)        # (n_ions, d, nc)
+        flux = jnp.einsum("k,kc,kdc->dc", z, D, gradc)       # sum_k z D grad c
+        b_cell = -F * g["vol"] * jnp.einsum("dc,idc->ic", flux, g["G"])
+        fp = jnp.einsum("df,df->f", flux[:, g["f_cp"]], g["f_n"])
+        fm = jnp.einsum("df,df->f", flux[:, g["f_cm"]], g["f_n"])
+        favg_q = (0.5 * F * (fp + fm) * sip)[None, :] * ones  # (nq, nf+1)
+    else:
+        Gq = _Gq(g)
+        gradc_q = jnp.einsum("qadc,kac->kqdc", Gq, c)
+        flux_q = jnp.einsum("k,kc,kqdc->qdc", z, D, gradc_q)
+        b_cell = -F * g["vol"] * jnp.einsum("q,qdc,qadc->ac",
+                                            g["w_c"], flux_q, Gq)
+        # n . (sum_k z D grad c) per side via the tabulated normal gradients
+        ncp = jnp.einsum("qaf,kaf->kqf", gnp, c[:, :, g["f_cp"]])
+        ncm = jnp.einsum("qaf,kaf->kqf", gnm, c[:, :, g["f_cm"]])
+        fp = jnp.einsum("k,kf,kqf->qf", z, D[:, g["f_cp"]], ncp)
+        fm = jnp.einsum("k,kf,kqf->qf", z, D[:, g["f_cm"]], ncm)
+        favg_q = 0.5 * F * (fp + fm) * sip[None, :]
+    b_p, b_m = _test_integrals(g, favg_q, -favg_q)
 
     if mms is None:
         # Robin data: splitting -> phi_M; passive -> phi_M - I_ch/C_phi
@@ -332,7 +375,8 @@ def assemble_knp_static(g, masks, ion, phys):
     setup; per-step assembly only adds the phi-dependent drift/upwind."""
     z, D = ion["z"], ion["D"]
     dt, tau = phys["dt"], phys["tau_knp"]
-    A_cell = (g["vol"] / dt) * _M0(g)[:, :, None] + (g["vol"] * D) * _GG(g)
+    GG = _GG(g) if _degree(g) == 1 else g["GG2"]
+    A_cell = (g["vol"] / dt) * _M0(g)[:, :, None] + (g["vol"] * D) * GG
     sip = masks["f_sip"]
     ones = jnp.ones_like(g["f_Rp"][:, 0, :])
     Dp = D[g["f_cp"]][None, :] * ones
@@ -382,25 +426,48 @@ def assemble_knp(
     # --- phi-dependent cell drift: z psi D u grad(phi).grad(v) ---------------
     sip = masks["f_sip"]
     mem = masks["f_mem"]
-    gphi = cell_grad(g, phi)                                    # (d, nc)
-    drift = jnp.einsum("idc,dc->ic", g["G"], gphi)              # (nd, nc)
-    A_cell = z * psi * (g["vol"] * D) * drift[:, None, :] * phibar[None, :, None]
-
-    # --- upwinded drift on tag-0 facets (solver.py:583-594): coefficient
-    # broadcasts over the static facet mass tensors E_vu --------------------
-    un_p = jnp.maximum(
-        D[g["f_cp"]] * jnp.einsum("df,df->f", gphi[:, g["f_cp"]], g["f_n"]), 0.0
-    )
-    un_m = jnp.maximum(
-        -D[g["f_cm"]] * jnp.einsum("df,df->f", gphi[:, g["f_cm"]], g["f_n"]), 0.0
-    )
     scale = (-z * psi) * g["f_area"] * sip                       # (nf+1,)
-    sp_ = (scale * un_p)[None, None, :]
-    sm_ = (scale * un_m)[None, None, :]
-    Mpp = sp_ * _E(g, "pp")
-    Mpm = -sm_ * _E(g, "pm")
-    Mmp = -sp_ * _E(g, "mp")
-    Mmm = sm_ * _E(g, "mm")
+    if _degree(g) == 1:
+        gphi = cell_grad(g, phi)                                 # (d, nc)
+        drift = jnp.einsum("idc,dc->ic", g["G"], gphi)           # (nd, nc)
+        A_cell = (z * psi * (g["vol"] * D)
+                  * drift[:, None, :] * phibar[None, :, None])
+
+        # --- upwinded drift on tag-0 facets (solver.py:583-594): coefficient
+        # broadcasts over the static facet mass tensors E_vu ----------------
+        un_p = jnp.maximum(
+            D[g["f_cp"]] * jnp.einsum("df,df->f", gphi[:, g["f_cp"]], g["f_n"]),
+            0.0,
+        )
+        un_m = jnp.maximum(
+            -D[g["f_cm"]] * jnp.einsum("df,df->f", gphi[:, g["f_cm"]], g["f_n"]),
+            0.0,
+        )
+        sp_ = (scale * un_p)[None, None, :]
+        sm_ = (scale * un_m)[None, None, :]
+        Mpp = sp_ * _E(g, "pp")
+        Mpm = -sm_ * _E(g, "pm")
+        Mmp = -sp_ * _E(g, "mp")
+        Mmm = sm_ * _E(g, "mm")
+    else:
+        Gq = _Gq(g)
+        gphi_q = jnp.einsum("qadc,ac->qdc", Gq, phi)             # (nq, d, nc)
+        A_cell = (z * psi * (g["vol"] * D)) * jnp.einsum(
+            "q,qdc,qidc,qj->ijc", g["w_c"], gphi_q, Gq, g["Phi_c"])
+
+        # upwind with per-qp normal phi-gradient traces
+        gnp_, gnm_ = _gn(g, "p"), _gn(g, "m")
+        un_p = jnp.maximum(
+            D[g["f_cp"]][None, :]
+            * jnp.einsum("qaf,af->qf", gnp_, phi[:, g["f_cp"]]), 0.0)
+        un_m = jnp.maximum(
+            -D[g["f_cm"]][None, :]
+            * jnp.einsum("qaf,af->qf", gnm_, phi[:, g["f_cm"]]), 0.0)
+        w, Rp, Rm = g["w_f"], g["f_Rp"], g["f_Rm"]
+        Mpp = scale * jnp.einsum("q,qf,qif,qjf->ijf", w, un_p, Rp, Rp)
+        Mpm = -scale * jnp.einsum("q,qf,qif,qjf->ijf", w, un_m, Rp, Rm)
+        Mmp = -scale * jnp.einsum("q,qf,qif,qjf->ijf", w, un_p, Rm, Rp)
+        Mmm = scale * jnp.einsum("q,qf,qif,qjf->ijf", w, un_m, Rm, Rm)
 
     blocks = static_blocks + gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
 

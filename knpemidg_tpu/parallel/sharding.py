@@ -5,10 +5,10 @@ DOLFIN/PETSc with explicit ghost updates (SURVEY.md section 2c, N6).  The
 TPU-native equivalent: shard the *cell* axis of every cell-indexed array
 (state fields, per-cell geometry, the block-ELL operator rows) and the
 *facet* axis of facet-indexed geometry across a 1-D `Mesh(('cells',))`;
-the gathers in assembly/SpMV then become XLA-inserted collectives over ICI,
-and the Krylov dot products lower to psum.  No explicit halo code: GSPMD
-plays the role of the ghost layer in round 1 (an explicit shard_map halo
-pipeline is the planned optimization).
+the Krylov dot products lower to psum, the once-per-step assembly gathers
+go through GSPMD auto-collectives, and the per-iteration Krylov matvec runs
+the explicit shard_map halo pipeline (parallel/halo.py) installed by
+shard_solver.
 
 Device arrays are cells-LAST (see ops/assembly.py layout notes), so the
 sharded axis is always the trailing one.
@@ -24,9 +24,9 @@ from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 
 
 CELL_ARRAYS = {"vol", "G", "diam", "cell_tag", "cell_qp", "cell_mid",
-               "cf_idx", "cf_is_plus", "nbr", "GG"}
+               "cf_idx", "cf_is_plus", "nbr", "GG", "GG2", "nodes"}
 FACET_ARRAYS = {"f_cp", "f_cm", "f_n", "f_area", "f_havg", "f_Rp", "f_Rm",
-                "f_stag", "f_qp", "f_mid",
+                "f_stag", "f_qp", "f_mid", "f_gnp", "f_gnm",
                 "gnp", "gnm", "E_pp", "E_pm", "E_mp", "E_mm"}
 MASK_ARRAYS = {"f_sip", "f_mem", "f_memidx"}
 
@@ -55,7 +55,8 @@ def pad_facet_axis(g: Dict[str, Any], masks: Dict[str, Any], multiple: int,
     fills = {"f_stag": -1, "f_havg": 1.0}
     g = dict(g)
     for k in FACET_ARRAYS:
-        g[k] = jnp.asarray(_pad_last(g[k], extra, fills.get(k, 0)))
+        if k in g and g[k] is not None:
+            g[k] = jnp.asarray(_pad_last(g[k], extra, fills.get(k, 0)))
     masks = dict(masks)
     masks["f_sip"] = jnp.asarray(_pad_last(masks["f_sip"], extra, False))
     masks["f_mem"] = jnp.asarray(_pad_last(masks["f_mem"], extra, False))
@@ -110,7 +111,7 @@ def permute_cells(S, perm: np.ndarray):
     inv[perm] = np.arange(nc)
     g = dict(S.g)
     for k in CELL_ARRAYS:
-        if k == "nbr" or k not in g:
+        if k == "nbr" or g.get(k) is None:
             continue
         g[k] = jnp.asarray(np.asarray(g[k])[..., perm])
     nbr = np.asarray(g["nbr"])
@@ -152,7 +153,7 @@ def pad_cell_axis(S, extra: int):
              "cell_tag": 0, "cell_qp": far, "cell_mid": far,
              "cf_idx": nf_dummy, "cf_is_plus": True}
     for k in CELL_ARRAYS:
-        if k == "nbr" or k not in g:
+        if k == "nbr" or g.get(k) is None:
             continue
         g[k] = jnp.asarray(_pad_last(g[k], extra, fills.get(k, 0)))
     nbr = np.asarray(g["nbr"])
@@ -215,8 +216,8 @@ def shard_solver(S, mesh: DeviceMesh):
 
     put(S.g, CELL_ARRAYS | FACET_ARRAYS)
     put(S.masks, MASK_ARRAYS)
-    for k in ("w_c", "w_f", "Phi_c", "e_c", "e_n", "e_area", "e_R", "e_qp",
-              "e_tag", "M0", "phibar"):
+    for k in ("w_c", "w_f", "Phi_c", "A_c", "e_c", "e_n", "e_area", "e_R",
+              "e_qp", "e_tag", "M0", "phibar"):
         if k in S.g and hasattr(S.g[k], "ndim"):
             S.g[k] = jax.device_put(S.g[k], repl)
     S.D = jax.device_put(S.D, _last_axis_spec(mesh, 2))

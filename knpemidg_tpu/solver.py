@@ -84,8 +84,12 @@ class Solver:
 
     def __init__(self, params, ion_list, degree_emi=1, degree_knp=1, mms=None,
                  sf=1, dtype=None):
-        if degree_emi != 1 or degree_knp != 1:
-            raise NotImplementedError("DG degree 1 only (reference runs use 1)")
+        if degree_emi not in (1, 2) or degree_knp != degree_emi:
+            raise NotImplementedError(
+                "DG degrees 1 and 2 supported, with degree_emi == degree_knp "
+                "(the reference's DG_k spaces, solver.py:163-169; its shipped "
+                "runs all use 1)")
+        self.degree = degree_emi
         self.params = params if isinstance(params, PhysicalParams) else params
         self.ion_list = [
             i if isinstance(i, Ion) else ion_from_dict(i) for i in ion_list
@@ -115,12 +119,13 @@ class Solver:
         self._comp_np = compartment_ids(mesh)
         self.mesh = mesh
         qd = quad_degree or 4
-        self.geom = build_geometry(mesh, quad_degree_cell=qd, quad_degree_facet=qd)
+        self.geom = build_geometry(mesh, quad_degree_cell=qd,
+                                   quad_degree_facet=qd, degree=self.degree)
         self.g = assembly.precompute_static(self.geom.to_device(self.dtype))
         self.gdim = mesh.dim
-        self.tau = 20.0 * self.gdim * 1
+        self.tau = 20.0 * self.gdim * self.degree
         self.n_cells = mesh.num_cells
-        self.nd = mesh.dim + 1
+        self.nd = self.geom.nd
         # characteristic domain length for the B-operator mass scaling
         # (solver.py:383-393)
         ext = mesh.vertices.max(axis=0) - mesh.vertices.min(axis=0)
@@ -173,8 +178,8 @@ class Solver:
 
     def _interp_init(self, sub, kind) -> np.ndarray:
         """Nodal interpolation of initial data per subdomain
-        (solver.py:179-206)."""
-        coords = self.mesh.vertices[self.mesh.cells]       # (nc, nd, d)
+        (solver.py:179-206).  Nodes are the degree-k Lagrange points."""
+        coords = self.geom.nodes                           # (nc, nd, d)
         out = np.zeros((self.n_cells, self.nd))
         if kind == "function":
             return np.asarray(sub, dtype=np.float64)
@@ -519,9 +524,17 @@ class Solver:
             )
             return blocks, rhs + src
 
-        return jax.vmap(asm_one)(
-            self.z[:-1], self.D[:-1], c, c_n, I_ch_pad[:-1], statics, srcs
-        )
+        # UNROLLED over ions, not vmapped: vmap adds a leading batch axis to
+        # every facet/cell gather operand, which sends TPU gathers down a
+        # high-rank slow path (~3x the flat 2-D gather the unrolled trace
+        # emits).  XLA still overlaps the independent per-ion work.
+        outs = [
+            asm_one(self.z[k], self.D[k], c[k], c_n[k], I_ch_pad[k],
+                    statics[k], srcs[k])
+            for k in range(self.N_ions)
+        ]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]))
 
     def _knp_solve_all(self, blocksK, rhsK, c, sp_: SolverParams, pcK=None):
         """Batched increment-form GMRES over the ion axis (jittable): all
@@ -877,14 +890,13 @@ class Solver:
         """Galerkin data for the per-compartment moment deflation
         (solvers/twolevel.moment_vectors): coordinates follow the shard
         renumbering/padding when the solver is sharded."""
-        coords = self.mesh.vertices[self.mesh.cells]       # (nc, nd, d)
+        # g["nodes"] (nd, d, nc) already follows any shard permutation and
+        # padding of the cell axis
+        coords = np.moveaxis(np.asarray(self.g["nodes"], dtype=np.float64),
+                             -1, 0)                        # (nc_pad, nd, d)
         comp = self._comp_np
-        perm = getattr(self, "_cell_perm", None)
-        if perm is not None:
-            coords = coords[perm]
-        extra = getattr(self, "n_cells_pad", coords.shape[0]) - coords.shape[0]
+        extra = coords.shape[0] - comp.shape[0]
         if extra:
-            coords = np.pad(coords, ((0, extra), (0, 0), (0, 0)))
             comp = np.concatenate([comp, np.full(extra, -1, dtype=comp.dtype)])
         W = moment_vectors(coords, comp, sp_.emi_moment_order,
                            dtype=self.dtype)

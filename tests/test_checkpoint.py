@@ -37,7 +37,10 @@ def test_checkpoint_resume_exact(tmp_path):
 
     step = S2._jit(("resume", True, sp), lambda s: S2._pde_step(s, sp))
     ode = S2._jit(("resume_ode",), lambda s: S2._ode_step(s, first_step=False))
-    state = restored
+    # resume with the production preconditioner attached (the frozen
+    # two-level + moment deflation the straight run used) -- without it the
+    # Krylov trajectories differ at solver-tolerance level
+    state = S2.attach_pc(restored, sp)
     for _ in range(3):
         state = ode(state)
         state, _ = step(state)

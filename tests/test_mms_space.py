@@ -20,7 +20,7 @@ C_SUB = {"a": {1: 1.0, 0: 2.0}, "b": {1: 2.0, 0: 4.0}, "c": {1: 3.0, 0: 2.0}}
 Z = {"a": 1.0, "b": -1.0, "c": 1.0}
 
 
-def run_resolution(resolution, dt=1e-10, n_steps=2):
+def run_resolution(resolution, dt=1e-10, n_steps=2, degree=1):
     mesh = mms_square(resolution)
     C_phi = 1.0 / dt
     mms_params = {
@@ -47,7 +47,8 @@ def run_resolution(resolution, dt=1e-10, n_steps=2):
     ]
     sp = SolverParams(direct_emi=True, direct_knp=True, resolution=resolution)
 
-    S = Solver(params, ion_list, mms=mms)
+    S = Solver(params, ion_list, mms=mms, degree_emi=degree,
+               degree_knp=degree)
     S.setup_domain(mesh)
     S.setup_parameters()
     S.setup_FEM_spaces()
@@ -99,6 +100,24 @@ def test_mms_space_convergence():
         rates = np.log(es[1:] / es[:-1]) / np.log(np.array(hs[1:]) / np.array(hs[:-1]))
         print(key, "rates", rates)
         assert rates[-1] > 1.7, (key, es, rates)
+
+
+@pytest.mark.slow
+def test_mms_space_convergence_degree2():
+    """DG degree 2: O(h^3) for concentrations and phi (VERDICT r1 item 7;
+    reference supports DG_k via FEniCS, solver.py:163-169)."""
+    resolutions = (3, 4, 5)
+    hs, errors = [], []
+    for r in resolutions:
+        h, e = run_resolution(r, degree=2)
+        hs.append(h)
+        errors.append(e)
+        print(f"res {r}: " + "  ".join(f"{k}={v:.4e}" for k, v in e.items()))
+    for key in ("a", "b", "c", "phi"):
+        es = np.array([e[key] for e in errors])
+        rates = np.log(es[1:] / es[:-1]) / np.log(np.array(hs[1:]) / np.array(hs[:-1]))
+        print(key, "rates", rates)
+        assert rates[-1] > 2.7, (key, es, rates)
 
 
 @pytest.mark.nightly
