@@ -109,6 +109,12 @@ class SolverParams:
     # membrane surface harmonics they capture dominate the CG count during
     # AP upstrokes (200 -> 12 iters on the EMIx mesh at order 2)
     emi_moment_order: int = 2
+    # rebuild the frozen preconditioner every N steps (0 = freeze at t0).
+    # The coarse/deflation Galerkin data drifts with the concentrations:
+    # on the EMIx AP upstroke a t0-frozen pc costs ~44 EMI iters/solve vs
+    # ~12 freshly built; a refresh every ~25 steps amortizes the ~0.3 s
+    # rebuild to ~12 ms/step
+    pc_refresh_every: int = 0
 
 
 @dataclasses.dataclass

@@ -129,26 +129,39 @@ def gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm):
 
     Returns blocks (K, nd, nd, nc); slot 0 = diagonal.  Row padding relies
     on the dummy facet (index nf) having zero area, hence zero blocks.
-    """
+
+    One STACKED 2-D gather per cell-facet slot: TPU gather cost is
+    per-index, so fetching all four facet tensors' columns in one
+    (4*nd*nd, nf)-operand gather costs ~the same as one of the four
+    rank-3 gathers the naive formulation issues (and rank-3 operands with
+    two leading axes take a slow high-rank path besides)."""
     cf = g["cf_idx"]                     # (d+1, nc)
     isp = g["cf_is_plus"]                # (d+1, nc)
+    nd = A_cell.shape[0]
+    nf1 = Mpp.shape[-1]
+    M = jnp.stack([Mpp, Mmm, Mpm, Mmp]).reshape(4 * nd * nd, nf1)
     diag = A_cell
     offs = []
     for l in range(cf.shape[0]):
         sel = isp[l][None, None, :]
-        diag = diag + jnp.where(sel, Mpp[:, :, cf[l]], Mmm[:, :, cf[l]])
-        offs.append(jnp.where(sel, Mpm[:, :, cf[l]], Mmp[:, :, cf[l]]))
+        got = M.at[:, cf[l]].get(mode="promise_in_bounds")
+        got = got.reshape(4, nd, nd, -1)
+        diag = diag + jnp.where(sel, got[0], got[1])
+        offs.append(jnp.where(sel, got[2], got[3]))
     return jnp.stack([diag] + offs)      # (K, nd, nd, nc)
 
 
 def gather_rhs(g, b_cell, b_p, b_m):
     """Assemble rhs (nd, nc) from cell part and per-facet side parts
-    (b_p/b_m: (nd, nf+1))."""
+    (b_p/b_m: (nd, nf+1)); one stacked gather per slot (see gather_blocks)."""
     cf = g["cf_idx"]
     isp = g["cf_is_plus"]
+    nd = b_cell.shape[0]
+    bpm = jnp.concatenate([b_p, b_m])    # (2*nd, nf+1)
     b = b_cell
     for l in range(cf.shape[0]):
-        b = b + jnp.where(isp[l][None, :], b_p[:, cf[l]], b_m[:, cf[l]])
+        got = bpm.at[:, cf[l]].get(mode="promise_in_bounds")
+        b = b + jnp.where(isp[l][None, :], got[:nd], got[nd:])
     return b
 
 
@@ -322,7 +335,8 @@ def assemble_emi(
         # Robin data: splitting -> phi_M; passive -> phi_M - I_ch/C_phi
         # (solver.py:332-344). Term: + C_phi g JUMP(v) = g C_phi (v_i - v_e)
         gr = phi_M if splitting else phi_M - I_ch_tot / C_phi
-        gf = gr[masks["f_memidx"]] * mem                       # (nf+1,)
+        gf = gr[None, :].at[:, masks["f_memidx"]].get(
+            mode="promise_in_bounds")[0] * mem                 # (nf+1,)
         bg_p, bg_m = _test_integrals(
             g, -C_phi * gf[None, :] * ones, C_phi * gf[None, :] * ones
         )
@@ -435,14 +449,15 @@ def assemble_knp(
 
         # --- upwinded drift on tag-0 facets (solver.py:583-594): coefficient
         # broadcasts over the static facet mass tensors E_vu ----------------
+        # stack D under gphi so each side is ONE 2-D gather (a bare 1-D
+        # D[f_cp] gather costs ~3x more than this whole fetch)
+        gphiD = jnp.concatenate([gphi, D[None, :]], axis=0)   # (d+1, nc)
+        gDp = gphiD.at[:, g["f_cp"]].get(mode="promise_in_bounds")
+        gDm = gphiD.at[:, g["f_cm"]].get(mode="promise_in_bounds")
         un_p = jnp.maximum(
-            D[g["f_cp"]] * jnp.einsum("df,df->f", gphi[:, g["f_cp"]], g["f_n"]),
-            0.0,
-        )
+            gDp[-1] * jnp.einsum("df,df->f", gDp[:-1], g["f_n"]), 0.0)
         un_m = jnp.maximum(
-            -D[g["f_cm"]] * jnp.einsum("df,df->f", gphi[:, g["f_cm"]], g["f_n"]),
-            0.0,
-        )
+            -gDm[-1] * jnp.einsum("df,df->f", gDm[:-1], g["f_n"]), 0.0)
         sp_ = (scale * un_p)[None, None, :]
         sm_ = (scale * un_m)[None, None, :]
         Mpp = sp_ * _E(g, "pp")
@@ -489,9 +504,12 @@ def assemble_knp(
         a_m = facet_trace(g, alpha, "m")
         C_p = a_p * C_M / (F * z * dt)
         C_m = a_m * C_M / (F * z * dt)
-        phiM_f = (phi_M[masks["f_memidx"]] * mem)[None, :]
-        Ik_f = (I_ch_k[masks["f_memidx"]] * mem)[None, :]
-        Itot_f = (I_ch_tot[masks["f_memidx"]] * mem)[None, :]
+        # one stacked 2-D gather: per-index TPU gather cost makes three
+        # separate 1-D membrane-field gathers ~10x this one
+        mem3 = jnp.stack([phi_M, I_ch_k, I_ch_tot])
+        got = mem3.at[:, masks["f_memidx"]].get(mode="promise_in_bounds")
+        got = got * mem[None, :]
+        phiM_f, Ik_f, Itot_f = got[0][None, :], got[1][None, :], got[2][None, :]
 
         # JUMP(C g_robin v): C*g = C phi_M - I_ch_k/(Fz) (+ alpha I_ch/(Fz))
         # (solver.py:614-625); plus side = ECS is subtracted.

@@ -737,10 +737,14 @@ class Solver:
             self._h5.append(state)
         n_steps = int(round(Tstop / self.params.dt))
 
+        refresh = solver_params.pc_refresh_every
+
         if scan_steps > 0:
             assert not (solver_params.direct_emi or solver_params.direct_knp)
             k = 0
             while k < n_steps:
+                if refresh and k and (k % refresh) < scan_steps:
+                    state = self._refresh_pc(state, solver_params)
                 # final block shrinks to the remaining steps so the loop
                 # never integrates past Tstop (ADVICE r1: ceil-overshoot)
                 bs = min(scan_steps, n_steps - k)
@@ -761,6 +765,8 @@ class Solver:
             return state
 
         for k in range(n_steps):
+            if refresh and k and k % refresh == 0:
+                state = self._refresh_pc(state, solver_params)
             ts = _time.perf_counter()
             ode_fn = self._jit(("ode_step", k == 0),
                                partial(self._ode_step, first_step=(k == 0)))
@@ -906,6 +912,12 @@ class Solver:
                 lambda v: bell_matvec(b, self.g["nbr"], v), Wm),
         )
         return build(blocks, W)
+
+    def _refresh_pc(self, state, sp_: SolverParams):
+        """Rebuild the frozen preconditioner data at the current state (the
+        coarse/deflation Galerkin matrices drift with the concentrations)."""
+        state = {k: v for k, v in state.items() if k != "pc"}
+        return self.attach_pc(state, sp_)
 
     def attach_pc(self, state, sp_: SolverParams):
         """Attach frozen preconditioner data to a state pytree (no-op if
