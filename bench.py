@@ -60,7 +60,7 @@ def _sync(state, stats):
 def time_steps(S, sp, n_steps, label):
     import jax
 
-    step = jax.jit(S.fused_step(sp))
+    step = S.fused_step(sp)
     state = S.attach_pc(S._initial_state(0.0), sp)
     # warmup: compile + 1 step
     state, stats = step(state)

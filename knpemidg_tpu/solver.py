@@ -300,11 +300,10 @@ class Solver:
         if k not in self._knp_static_blocks:
             ion = self.ion_list[k]
             iond = {"z": float(ion.z), "D": self.D[k]}
-            fn = self._jit(("knp_static",), partial(
-                assembly.assemble_knp_static, self.g, self.masks,
-                phys=self._phys_knp(),
-            ))
-            val = fn(ion=iond)
+            fn = self._jit(("knp_static",), lambda ion: (
+                assembly.assemble_knp_static(self.g, self.masks, ion,
+                                             self._phys_knp())))
+            val = fn(iond)
             if isinstance(val, jax.core.Tracer):
                 return val
             self._knp_static_blocks[k] = val
@@ -779,10 +778,66 @@ class Solver:
         self.state = state
         return state
 
+    # Geometry/mask/static tensors referenced by the jitted step functions.
+    # They are passed as ARGUMENTS through every jit (see _jit) instead of
+    # being captured as closure constants: embedding ~100-250 MB of facet
+    # tensors + cached static operators into each program made the remote
+    # TPU compiler constant-fold them for minutes (and risks its request
+    # size limit); as parameters the programs stay small and compile fast.
+    _AUX_FIELDS = ("g", "masks", "D", "z", "rho", "mem_dev")
+
+    def _aux_pytree(self):
+        aux = {}
+        for name in self._AUX_FIELDS:
+            v = getattr(self, name, None)
+            if v is None:
+                continue
+            if isinstance(v, dict):
+                # only array leaves travel; static metadata (ints) stays
+                aux[name] = {k: a for k, a in v.items()
+                             if hasattr(a, "ndim")}
+            else:
+                aux[name] = v
+        aux["statics"] = dict(getattr(self, "_knp_static_blocks", {}))
+        return aux
+
     def _jit(self, key, fn):
-        if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(fn)
-        return self._jit_cache[key]
+        """jit `fn` with the solver's geometry/static arrays routed in as a
+        pytree argument: during tracing the aux entries are temporarily
+        swapped onto `self`, so `fn` (and everything it calls) transparently
+        reads traced values instead of baking device constants into the
+        program."""
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def wrapped(aux, *args, **kwargs):
+            saved = {}
+            try:
+                for name, v in aux.items():
+                    if name == "statics":
+                        saved["_knp_static_blocks"] = getattr(
+                            self, "_knp_static_blocks", {})
+                        self._knp_static_blocks = dict(v)
+                        continue
+                    cur = getattr(self, name)
+                    saved[name] = cur
+                    if isinstance(cur, dict):
+                        setattr(self, name, {**cur, **v})
+                    else:
+                        setattr(self, name, v)
+                return fn(*args, **kwargs)
+            finally:
+                for name, v in saved.items():
+                    setattr(self, name, v)
+
+        jfn = jax.jit(wrapped)
+
+        def caller(*args, **kwargs):
+            return jfn(self._aux_pytree(), *args, **kwargs)
+
+        caller._jitted = jfn
+        self._jit_cache[key] = caller
+        return caller
 
     def _comp_arrays(self):
         """Host-side compartment indicators (one-hot rows -> the deflation
@@ -1024,8 +1079,9 @@ class Solver:
         def finalize(state, c, phi):
             return self._finalize_step(state, {}, c, phi, True, state["t"])[0]
 
-        fns = tuple(jax.jit(f) for f in
-                    (asm_emi, solve_emi, asm_knp, solve_knp, finalize))
+        fns = tuple(self._jit(key + (i,), f) for i, f in
+                    enumerate((asm_emi, solve_emi, asm_knp, solve_knp,
+                               finalize)))
         self._jit_cache[key] = fns
         return fns
 
@@ -1070,9 +1126,13 @@ class Solver:
     # fused full step (ODE + EMI + KNP in one jittable function) --------
     # ------------------------------------------------------------------
     def fused_step(self, solver_params: SolverParams, first_step: bool = False):
-        """Pure function state -> (state, stats) combining the whole
+        """Jitted state -> (state, stats) function combining the whole
         splitting step; the benchmark / multi-chip entry point.  Iterative
-        solvers only (host direct solves cannot be fused)."""
+        solvers only (host direct solves cannot be fused).
+
+        Already jitted via _jit (geometry passed as arguments) -- do NOT
+        wrap the result in another jax.jit, which would re-capture the
+        geometry as program constants."""
         assert not solver_params.direct_emi and not solver_params.direct_knp
 
         def step(state):
@@ -1080,7 +1140,7 @@ class Solver:
                 state = self._ode_step(state, first_step=first_step)
             return self._pde_step(state, solver_params)
 
-        return step
+        return self._jit(("fused", first_step, solver_params), step)
 
     def fused_block(self, solver_params: SolverParams, n_steps: int):
         """lax.scan of `n_steps` fused splitting steps in one jittable

@@ -203,8 +203,10 @@ def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
         data["As"] = As
 
     if comp_onehot is not None:
+        comp_onehot = jnp.asarray(comp_onehot)
         if comp_ids is None:
             comp_ids = jnp.argmax(comp_onehot, axis=0).astype(jnp.int32)
+        comp_ids = jnp.asarray(comp_ids, dtype=jnp.int32)   # nbr may be traced
         n_comp = comp_onehot.shape[0]
         crossing = comp_ids[nbr] != comp_ids[None, :]
         vm = jnp.where(crossing, v, 0.0)

@@ -40,14 +40,14 @@ def test_shard_solver_consistency():
 
     S_ref = build_solver(resolution=0)
     state_ref = S_ref._initial_state(0.0)
-    step_ref = jax.jit(S_ref.fused_step(sp))
+    step_ref = S_ref.fused_step(sp)
     out_ref, _ = step_ref(state_ref)
 
     S_sh = build_solver(resolution=0)
     mesh = device_mesh(4)
     shard_state = shard_solver(S_sh, mesh)       # pads + installs halo mv
     state_sh = shard_state(S_sh._initial_state(0.0))
-    step_sh = jax.jit(S_sh.fused_step(sp))
+    step_sh = S_sh.fused_step(sp)
     out_sh, _ = step_sh(state_sh)
     out_sh = unpad_state(S_sh, out_sh)
 
