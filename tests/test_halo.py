@@ -113,3 +113,30 @@ def test_halo_collective_volume():
     S, B = halo["S"], halo["B"]
     assert halo["nbr_local"].max() < S + 8 * B
     assert halo["nbr_local"].min() >= 0
+
+
+def test_halo_matvec_degree2_geometry():
+    """Sharding a degree-2 solver: the per-qp facet gradient tables ride
+    the facet padding and the halo matvec matches single-device on the
+    wider (nd=6) blocks."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(7)
+    nc, nd, K = 777, 6, 5                        # P2 triangle: nd = 6
+    nbr = np.vstack([
+        np.arange(nc),
+        np.clip(np.arange(nc) + rng.integers(-30, 30, size=(K - 1, nc)),
+                0, nc - 1),
+    ])
+    blocks = rng.normal(size=(K, nd, nd, nc)).astype(np.float32)
+    x = rng.normal(size=(nd, nc)).astype(np.float32)
+    y_ref = bell_matvec(jnp.asarray(blocks), jnp.asarray(nbr.astype(np.int32)),
+                        jnp.asarray(x))
+    halo = build_halo(nbr, 8, align=16)
+    npad = halo["n_pad"] - nc
+    mesh = Mesh(np.array(jax.devices()[:8]), ("cells",))
+    bp = _shard(mesh, np.pad(blocks, ((0, 0),) * 3 + ((0, npad),)))
+    xp = _shard(mesh, np.pad(x, ((0, 0), (0, npad))))
+    y = jax.jit(halo_spmv_fn(halo, mesh))(bp, xp)
+    np.testing.assert_allclose(np.asarray(y[:, :nc]), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
