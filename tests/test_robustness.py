@@ -120,3 +120,19 @@ def test_phased_stats_files(tmp_path):
     emi = [ph["emi_solve"] for ph in rec]
     knp = [ph["knp_solve"] for ph in rec]
     assert emi != knp
+
+
+def test_pc_refresh_path():
+    """pc_refresh_every rebuilds the frozen preconditioner mid-run (both
+    loop modes) and the run still converges."""
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-6, atol_emi=1e-40,
+                      rtol_knp=1e-8, atol_knp=1e-40,
+                      pc_refresh_every=2)
+    S = _solver()
+    state = S.solve_system_active(4 * S.params.dt, 0.0, sp)
+    assert np.isfinite(np.asarray(state["c"])).all()
+    S2 = _solver()
+    state2 = S2.solve_system_active(4 * S2.params.dt, 0.0, sp, scan_steps=2)
+    np.testing.assert_allclose(np.asarray(state["c"]), np.asarray(state2["c"]),
+                               rtol=1e-6, atol=1e-10)
