@@ -146,7 +146,7 @@ def main(Tstop=2.0, fname="results/data/astro-tortuosity/", save=True):
         direct_emi=False, direct_knp=False,
         rtol_emi=1e-5, atol_emi=1e-40, threshold_emi=0.9,
         rtol_knp=1e-7, atol_knp=1e-40, threshold_knp=0.75, verbose=True,
-        pc_refresh_every=20,
+        pc_refresh_every=50,
     )
     state = S.solve_system_active(Tstop, 0.0, sp, filename=fname,
                                   save_fields=save, save_solver_stats=save)

@@ -110,10 +110,12 @@ class SolverParams:
     # AP upstrokes (200 -> 12 iters on the EMIx mesh at order 2)
     emi_moment_order: int = 2
     # rebuild the frozen preconditioner every N steps (0 = freeze at t0).
-    # The coarse/deflation Galerkin data drifts with the concentrations:
-    # on the EMIx AP upstroke a t0-frozen pc costs ~44 EMI iters/solve vs
-    # ~12 freshly built; a refresh every ~25 steps amortizes the ~0.3 s
-    # rebuild to ~12 ms/step
+    # The coarse/deflation Galerkin data drifts with the concentrations;
+    # refresh bounds that drift on long runs (hundreds of steps).  NOTE the
+    # EMI iteration spikes during an AP upstroke are intrinsic to those
+    # steps' right-hand sides (measured: per-step-fresh pc still spikes),
+    # so frequent refresh does not pay -- a rebuild costs ~1.6 s on the
+    # EMIx mesh; every ~50 steps adds ~30 ms/step
     pc_refresh_every: int = 0
 
 

@@ -46,6 +46,20 @@ def bell_matvec_multi(blocks: jnp.ndarray, nbr: jnp.ndarray,
     return y + jnp.einsum("mkijc,mjkc->mic", blocks[:, 1:], xg)
 
 
+def bell_matvec_fan(blocks: jnp.ndarray, nbr: jnp.ndarray,
+                    x: jnp.ndarray) -> jnp.ndarray:
+    """One operator applied to m vectors: blocks (K, nd, nd, nc),
+    x (m, nd, nc) -> (m, nd, nc), sharing ONE neighbor gather across all
+    vectors (payload rides the sublane axis).  Used by the moment-deflation
+    Galerkin build (63 fields per apply); vmap(bell_matvec) would issue m
+    slow high-rank gathers instead."""
+    m, nd, nc = x.shape
+    y = jnp.einsum("ijc,mjc->mic", blocks[0], x)
+    xg = x.reshape(m * nd, nc).at[:, nbr[1:]].get(mode="promise_in_bounds")
+    xg = xg.reshape(m, nd, nbr.shape[0] - 1, nc)
+    return y + jnp.einsum("kijc,mjkc->mic", blocks[1:], xg)
+
+
 def block_jacobi_inverse(diag_blocks: jnp.ndarray) -> jnp.ndarray:
     """Inverse of the (nd x nd) diagonal blocks: (nd, nd, nc) -> same.
 

@@ -33,8 +33,9 @@ from .config import Ion, PhysicalParams, SolverParams, StimParams, ion_from_dict
 from .mesh.core import Mesh
 from .fem.tabulation import build_geometry, build_membrane_tables
 from .ops import assembly
-from .ops.spmv import (bell_matvec, bell_matvec_multi,
-                       block_jacobi_apply, block_jacobi_inverse)
+from .ops.spmv import (bell_matvec, bell_matvec_fan,
+                       bell_matvec_multi, block_jacobi_apply,
+                       block_jacobi_inverse)
 from .solvers.krylov import gmres, gmres_batched, pcg
 from .solvers import direct as direct_solvers
 from .solvers.twolevel import (build_moment_deflation, build_two_level,
@@ -964,7 +965,8 @@ class Solver:
         build = self._jit(
             ("pc_emi_mom", sp_.emi_moment_order),
             lambda b, Wm: build_moment_deflation(
-                lambda v: bell_matvec(b, self.g["nbr"], v), Wm),
+                None, Wm,
+                fan=lambda X: bell_matvec_fan(b, self.g["nbr"], X)),
         )
         return build(blocks, W)
 

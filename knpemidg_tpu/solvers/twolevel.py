@@ -131,11 +131,14 @@ def moment_vectors(coords, comp, order: int = 2, dtype=None):
     return jnp.asarray(W, dtype=dtype)
 
 
-def build_moment_deflation(matvec, W, ridge: float = 1e-6):
+def build_moment_deflation(matvec, W, ridge: float = 1e-6, fan=None):
     """Galerkin data for the moment-deflation correction: ``W (nw, nd, nc)``
     deflation fields, ``matvec`` the (current) operator apply on a single
-    (nd, nc) field.  Returns arrays to merge into the two-level data dict."""
-    AW = jax.vmap(matvec)(W)
+    (nd, nc) field -- or ``fan``, a batched apply (nw, nd, nc) ->
+    (nw, nd, nc) that shares the neighbor gather across fields (an order of
+    magnitude cheaper; pass ops.spmv.bell_matvec_fan bound to the blocks).
+    Returns arrays to merge into the two-level data dict."""
+    AW = fan(W) if fan is not None else jax.vmap(matvec)(W)
     Am = jnp.einsum("wic,vic->wv", W, AW)
     Am = 0.5 * (Am + Am.T)
     dm = jnp.diagonal(Am)
