@@ -43,7 +43,7 @@ def build(dtype=None, mesh=None):
         direct_emi=False, direct_knp=False,
         rtol_emi=1e-5, atol_emi=1e-40,
         rtol_knp=1e-7, atol_knp=2e-40,
-        max_it_emi=1000, max_it_knp=1000, gmres_restart=60, agg_size=64,
+        max_it_emi=1000, max_it_knp=1000, gmres_restart=30, agg_size=64,
     )
     return S, sp
 

@@ -81,7 +81,7 @@ def solver_params(resolution=0):
         direct_emi=False, direct_knp=False,
         rtol_emi=1e-5, atol_emi=1e-40, threshold_emi=0.9,
         rtol_knp=1e-7, atol_knp=2e-40, threshold_knp=0.75,
-        gmres_restart=60, agg_size=64, pc_refresh_every=50,
+        gmres_restart=30, agg_size=64, pc_refresh_every=50,
         resolution=resolution, verbose=True,
     )
 
