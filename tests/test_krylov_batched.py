@@ -1,0 +1,80 @@
+"""Batched Krylov machinery: gmres_batched vs gmres, fan/multi matvecs."""
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from knpemidg_tpu.ops.spmv import (bell_matvec, bell_matvec_fan,
+                                   bell_matvec_multi)
+from knpemidg_tpu.solvers.krylov import gmres, gmres_batched
+
+
+def _system(rng, nc=150, nd=3, K=4, m=2, dom=3.0):
+    nbr = np.vstack([np.arange(nc),
+                     rng.integers(0, nc, size=(K - 1, nc))]).astype(np.int32)
+    blocks = rng.normal(size=(m, K, nd, nd, nc)).astype(np.float32) * 0.05
+    for s in range(m):
+        for i in range(nd):
+            blocks[s, 0, i, i, :] += dom
+    return jnp.asarray(blocks), jnp.asarray(nbr)
+
+
+def test_matvec_fan_and_multi():
+    rng = np.random.default_rng(0)
+    blocks, nbr = _system(rng, m=3)
+    x = jnp.asarray(rng.normal(size=(3, 3, 150)).astype(np.float32))
+    ref = jnp.stack([bell_matvec(blocks[s], nbr, x[s]) for s in range(3)])
+    np.testing.assert_allclose(np.asarray(bell_matvec_multi(blocks, nbr, x)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
+    # fan: one operator applied to all vectors
+    fan = bell_matvec_fan(blocks[0], nbr, x)
+    ref_fan = jnp.stack([bell_matvec(blocks[0], nbr, x[s]) for s in range(3)])
+    np.testing.assert_allclose(np.asarray(fan), np.asarray(ref_fan),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gmres_batched_matches_single():
+    """Per-system results and iteration counts match independent gmres."""
+    rng = np.random.default_rng(1)
+    blocks, nbr = _system(rng, m=2)
+    b = jnp.asarray(rng.normal(size=(2, 3, 150)).astype(np.float32))
+    mv = lambda V: bell_matvec_multi(blocks, nbr, V)
+    res = gmres_batched(mv, b, jnp.zeros_like(b), lambda r: r,
+                        rtol=1e-6, atol=0.0, max_it=200, restart=25)
+    assert bool(res.converged.all())
+    for s in range(2):
+        r1 = gmres(lambda v: bell_matvec(blocks[s], nbr, v), b[s],
+                   jnp.zeros_like(b[s]), lambda r: r,
+                   rtol=1e-6, atol=0.0, max_it=200, restart=25)
+        assert int(r1.iters) == int(res.iters[s])
+        rr = float(jnp.linalg.norm(b[s] - bell_matvec(blocks[s], nbr,
+                                                      res.x[s]))
+                   / jnp.linalg.norm(b[s]))
+        assert rr < 1e-5
+
+
+def test_gmres_batched_uneven_convergence():
+    """One easy + one hard system: the easy one's iters stay small and its
+    solution is unperturbed by the shared extra steps."""
+    rng = np.random.default_rng(2)
+    blocks_np = np.asarray(_system(rng, m=2)[0]).copy()
+    blocks_np[0, 0] *= 30.0                      # system 0: very dominant
+    blocks_np[1, 1:] *= 8.0                      # system 1: weakly dominant
+    nbr = _system(np.random.default_rng(2))[1]
+    blocks = jnp.asarray(blocks_np)
+    b = jnp.asarray(rng.normal(size=(2, 3, 150)).astype(np.float32))
+    mv = lambda V: bell_matvec_multi(blocks, nbr, V)
+    res = gmres_batched(mv, b, jnp.zeros_like(b), lambda r: r,
+                        rtol=1e-7, atol=0.0, max_it=300, restart=20)
+    assert bool(res.converged.all())
+    assert int(res.iters[0]) < int(res.iters[1])
+    for s in range(2):
+        rr = float(jnp.linalg.norm(b[s] - bell_matvec(blocks[s], nbr,
+                                                      res.x[s]))
+                   / jnp.linalg.norm(b[s]))
+        assert rr < 1e-6
