@@ -929,7 +929,8 @@ class Solver:
                 pc["emi"] = dict(pc["emi"],
                                  **self._emi_moment_data(blocks, sp_))
         kind_knp = sp_.precond_knp or sp_.precond
-        if not sp_.direct_knp and kind_knp.startswith("two_level"):
+        if (not sp_.direct_knp and kind_knp.startswith("two_level")
+                and not getattr(self, "_emi_only", False)):
             asm_knp = self._jit(
                 ("asm_knp_all", self.splitting_scheme),
                 lambda st: self._knp_assemble_all(

@@ -22,6 +22,8 @@ from .solver import Solver, Traces
 
 
 class SolverEMI(Solver):
+    _emi_only = True          # attach_pc skips the (never-used) KNP build
+
     def _pde_step(self, state, solver_params: SolverParams):
         sp_ = solver_params
         c, c_elim, phi, phi_M, t = (
@@ -42,13 +44,16 @@ class SolverEMI(Solver):
             )
             stats["emi_iters"] = jnp.int32(0)
         else:
-            mv = lambda v: bell_matvec(blocks, self.g["nbr"], v)
+            pc = state.get("pc")
+            mv = lambda v: self._matvec(blocks, v)
             r0 = rhs - mv(phi)
             res = pcg(
                 mv, r0, jnp.zeros_like(phi),
-                self._make_precond(blocks, Pd, sp_, sym=True),
+                self._make_precond(blocks, Pd, sp_, sym=True,
+                                   pc=pc.get("emi") if pc else None),
                 rtol=sp_.rtol_emi, atol=sp_.atol_emi, max_it=sp_.max_it_emi,
                 project_nullspace=True, b_ref=rhs,
+                nullspace_mask=getattr(self, "_pad_mask", None),
             )
             phi = phi + res.x
             stats["emi_iters"] = res.iters
