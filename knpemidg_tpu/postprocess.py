@@ -134,9 +134,11 @@ class Results:
 
 
 def vertex_average(mesh: Mesh, field: np.ndarray) -> np.ndarray:
-    """Average a DG1 field (nc, nd) onto mesh vertices -> (nv,): the
-    continuous visualization proxy ParaView expects as point data."""
-    field = np.asarray(field)
+    """Average a DG field (nc, nd) onto mesh vertices -> (nv,): the
+    continuous visualization proxy ParaView expects as point data.
+    Degree-2 fields carry edge dofs after the vertex dofs (fem/basis
+    node ordering); only the vertex columns are scattered."""
+    field = np.asarray(field)[:, : mesh.cells.shape[1]]
     nv = mesh.vertices.shape[0]
     acc = np.zeros(nv)
     cnt = np.zeros(nv)

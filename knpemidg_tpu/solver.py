@@ -546,6 +546,11 @@ class Solver:
         g = self.g
         mv = lambda V: self._matvec(blocksK, V)
         kind = sp_.precond_knp or sp_.precond
+        if kind == "two_level_mult":
+            raise NotImplementedError(
+                "precond_knp='two_level_mult' is not supported by the "
+                "batched multi-ion KNP solve (use 'two_level'; the "
+                "multiplicative cycle is available for the EMI solve)")
         if kind.startswith("two_level"):
             data = pcK if pcK is not None else jax.vmap(
                 lambda b: build_two_level(
@@ -979,7 +984,14 @@ class Solver:
 
     def attach_pc(self, state, sp_: SolverParams):
         """Attach frozen preconditioner data to a state pytree (no-op if
-        already present or not applicable)."""
+        already present or not applicable).  Also populates the KNP
+        static-operator cache EAGERLY: _knp_static can only cache concrete
+        arrays, and every per-step entry point traces under _jit, so
+        without this host-side call the static assembly (mass + stiffness
+        + SIP per ion) would re-run inside every compiled step."""
+        if self.mms is None and not getattr(self, "_emi_only", False):
+            for k in range(self.N_ions):
+                self._knp_static(k)
         if "pc" in state:
             return state
         pc = self._build_pc(state, sp_)
