@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import time as _time
 from functools import partial
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import numpy as np
 import jax
@@ -42,7 +42,7 @@ from .solvers.twolevel import (build_moment_deflation, build_two_level,
                                compartment_ids, make_two_level,
                                moment_vectors, two_level_apply_batched,
                                two_level_apply_fn)
-from .membrane.engine import MembraneState, make_membrane, ode_step, set_param, get_param
+from .membrane.engine import make_membrane, ode_step, set_param, get_param
 from .utils.stats import SolverStats, bcolors
 
 

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from .config import SolverParams
 from .ops import assembly
-from .ops.spmv import bell_matvec, block_jacobi_apply, block_jacobi_inverse
 from .solvers.krylov import pcg
 from .solvers import direct as direct_solvers
 from .solver import Solver, Traces

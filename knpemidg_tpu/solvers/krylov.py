@@ -11,7 +11,6 @@ arrays are sharded over the device mesh.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
