@@ -60,9 +60,14 @@ def test_h5_roundtrip_and_series(tmp_path):
     assert int(piece.get("NumberOfCells")) == res.mesh.num_cells
     names = {a.get("Name") for a in piece.find("PointData")}
     assert {"phi", "K", "Na", "c_elim"} <= names
-    # vertex averaging preserves a constant field exactly
+    # vertex averaging preserves a constant field exactly, and accepts
+    # degree-2 fields (edge dofs after the vertex dofs are ignored)
     const = np.full((res.mesh.num_cells, res.mesh.cells.shape[1]), 3.25)
     np.testing.assert_allclose(vertex_average(res.mesh, const), 3.25)
+    import math
+    nd2 = math.comb(res.mesh.dim + 2, 2)
+    const2 = np.full((res.mesh.num_cells, nd2), 2.5)
+    np.testing.assert_allclose(vertex_average(res.mesh, const2), 2.5)
 
     # solver stats files written (reference layout, solver.py:1146-1198)
     stats_files = os.listdir(fname + "solver/")
