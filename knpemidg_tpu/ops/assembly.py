@@ -573,6 +573,37 @@ def assemble_knp(
 # projections / updates (replace utils.pcws_constant_project & friends)
 # ---------------------------------------------------------------------------
 
+def _mem_trace(g, mem, u, side: str):
+    """Membrane-presliced facet trace -> (nq, n_mem).
+
+    Uses the per-membrane trace tensors `mem["Rp"/"Rm"]` and cell maps
+    `mem["cp"/"cm"]` cut out of the full facet tables at setup
+    (solver._set_membrane_tags): gathers only n_mem cell columns instead
+    of the full nf+1 facet axis (~10x fewer gather indices on the EMIx
+    mesh, where TPU gather cost is per-index)."""
+    R = mem["Rp" if side == "p" else "Rm"]           # (nq, nd, n_mem)
+    c = mem["cp" if side == "p" else "cm"]           # (n_mem,)
+    return jnp.einsum("qim,im->qm", R, u[:, c])
+
+
+def membrane_avg_m(g, mem, u, side: str):
+    """Facet-average membrane trace via the presliced tensors -> (n_mem,)."""
+    return jnp.einsum("q,qm->m", g["w_f"], _mem_trace(g, mem, u, side))
+
+
+def nernst_potential_m(g, mem, c, z, F, R, T):
+    """E = RT/(zF) * facet-avg ln(c_plus / c_minus), presliced."""
+    cp = _mem_trace(g, mem, c, "p")
+    cm = _mem_trace(g, mem, c, "m")
+    return R * T / (F * z) * jnp.einsum("q,qm->m", g["w_f"], jnp.log(cp / cm))
+
+
+def jump_phi_M_m(g, mem, phi):
+    """phi_M = facet-avg JUMP(phi) = phi_i - phi_e, presliced."""
+    j = _mem_trace(g, mem, phi, "m") - _mem_trace(g, mem, phi, "p")
+    return jnp.einsum("q,qm->m", g["w_f"], j)
+
+
 def membrane_avg(g, mem_fidx, u, side: str):
     """Facet average of DG1 trace on membrane facets -> (n_mem,).
 

@@ -119,6 +119,9 @@ def permute_cells(S, perm: np.ndarray):
     for k in ("f_cp", "f_cm", "e_c"):
         g[k] = jnp.asarray(inv[np.asarray(g[k])])
     S.g = g
+    for k in ("cp", "cm"):                 # membrane-presliced cell maps
+        if k in getattr(S, "mem_dev", {}):
+            S.mem_dev[k] = jnp.asarray(inv[np.asarray(S.mem_dev[k])])
     S.D = jnp.asarray(np.asarray(S.D)[:, perm])
     S.rho = jnp.asarray(np.asarray(S.rho)[perm])
     S._comp_np = S._comp_np[perm]

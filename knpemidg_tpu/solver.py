@@ -65,13 +65,13 @@ class Traces:
     def plus(self, k):
         """ECS-side facet-average trace of ion k on this tag's membranes."""
         g, mem = self._s.g, self._s.mem_dev
-        vals = assembly.membrane_avg(g, mem["fidx"], self._field(k), "p")
+        vals = assembly.membrane_avg_m(g, mem, self._field(k), "p")
         return vals[self._sl[0]:self._sl[1]]
 
     def minus(self, k):
         """ICS-side facet-average trace of ion k."""
         g, mem = self._s.g, self._s.mem_dev
-        vals = assembly.membrane_avg(g, mem["fidx"], self._field(k), "m")
+        vals = assembly.membrane_avg_m(g, mem, self._field(k), "m")
         return vals[self._sl[0]:self._sl[1]]
 
     def ion_index(self, name):
@@ -138,6 +138,13 @@ class Solver:
     def _set_membrane_tags(self, tags):
         self.tables = build_membrane_tables(self.mesh, tags)
         self.mem_dev = self.tables.to_device(self.dtype)
+        # membrane-presliced trace tensors: gathers over n_mem instead of
+        # the full facet axis (ops/assembly._mem_trace)
+        fidx = self.tables.fidx
+        self.mem_dev["Rp"] = self.g["f_Rp"][:, :, fidx]
+        self.mem_dev["Rm"] = self.g["f_Rm"][:, :, fidx]
+        self.mem_dev["cp"] = self.g["f_cp"][fidx]
+        self.mem_dev["cm"] = self.g["f_cm"][fidx]
         nf1 = self.geom.f_stag.shape[0]
         self.masks = {
             "f_sip": jnp.asarray(self.geom.f_stag == 0),
@@ -479,7 +486,7 @@ class Solver:
 
     def _finalize_step(self, state, stats, c, phi, advance_time, t):
         """Post-solve updates (solver.py:808-845)."""
-        phi_M = assembly.jump_phi_M(self.g, self.mem_dev["fidx"], phi)
+        phi_M = assembly.jump_phi_M_m(self.g, self.mem_dev, phi)
         c_elim = assembly.eliminated_concentration(
             c, self.z[:-1], self.rho, float(self.ion_list[-1].z)
         )
@@ -632,8 +639,8 @@ class Solver:
             # Nernst potentials for every ion (solver.py:1097-1098)
             for k, ion in enumerate(self.ion_list):
                 field = c_elim if k == len(self.ion_list) - 1 else c[k]
-                E = assembly.nernst_potential(
-                    self.g, self.mem_dev["fidx"], field, float(ion.z),
+                E = assembly.nernst_potential_m(
+                    self.g, self.mem_dev, field, float(ion.z),
                     p.F, p.R, p.temperature,
                 )[s0:s1]
                 if mm.has_param(f"E_{ion.name}"):

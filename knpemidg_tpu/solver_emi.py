@@ -58,7 +58,7 @@ class SolverEMI(Solver):
             stats["emi_iters"] = res.iters
         stats["knp_iters"] = jnp.zeros(self.N_ions, dtype=jnp.int32)
 
-        phi_M = assembly.jump_phi_M(self.g, self.mem_dev["fidx"], phi)
+        phi_M = assembly.jump_phi_M_m(self.g, self.mem_dev, phi)
         new_state = dict(state)
         new_state.update(phi=phi, phi_M=phi_M, t=t + self.params.dt)
         return new_state, stats
