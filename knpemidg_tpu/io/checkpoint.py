@@ -107,6 +107,8 @@ def save_checkpoint(filename: str, state: Dict[str, Any]):
         f.create_dataset("c", data=np.asarray(state["c"]))
         f.create_dataset("c_elim", data=np.asarray(state["c_elim"]))
         f.create_dataset("phi", data=np.asarray(state["phi"]))
+        if "phi_prev" in state:       # EMI predictor base (exact resume)
+            f.create_dataset("phi_prev", data=np.asarray(state["phi_prev"]))
         f.create_dataset("phi_M", data=np.asarray(state["phi_M"]))
         f.create_dataset("I_ch", data=np.asarray(state["I_ch"]))
         f.create_dataset("t", data=np.asarray(state["t"]))
@@ -131,6 +133,9 @@ def load_checkpoint(filename: str, solver) -> Dict[str, Any]:
             "t": jnp.asarray(f["t"][()], dtype=solver.dtype),
             "mem": {},
         }
+        if "phi_prev" in f:
+            state["phi_prev"] = jnp.asarray(f["phi_prev"][()],
+                                            dtype=solver.dtype)
         for tag, mm in solver.mem_models.items():
             grp = f[f"mem_{tag}"]
             state["mem"][tag] = dataclasses.replace(

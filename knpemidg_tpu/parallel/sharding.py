@@ -234,7 +234,9 @@ def shard_solver(S, mesh: DeviceMesh):
 
     def shard_state(state):
         out = dict(state)
-        for key in ("c", "c_elim", "phi"):
+        for key in ("c", "c_elim", "phi", "phi_prev"):
+            if key not in state:
+                continue
             v = state[key]
             if v.shape[-1] == nc:                 # original numbering:
                 v = v[..., perm_j]                # remap to shard order
@@ -265,7 +267,9 @@ def unpad_state(S, state):
     nc = S.n_cells
     inv = getattr(S, "_cell_perm_inv", None)
     out = dict(state)
-    for key in ("c", "c_elim", "phi"):
+    for key in ("c", "c_elim", "phi", "phi_prev"):
+        if key not in state:
+            continue
         v = state[key][..., :nc]
         if inv is not None:
             v = v[..., jnp.asarray(inv)]

@@ -399,6 +399,7 @@ class Solver:
                 self._emi_solve_iterative(
                     blocks, Pd, rhs, phi, sp_,
                     pc=pc.get("emi") if pc else None,
+                    phi_prev=state.get("phi_prev"),
                 )
             )
         if eager:
@@ -468,13 +469,30 @@ class Solver:
         return self._finalize_step(state, stats, c, phi, advance_time, t)
 
     def _emi_solve_iterative(self, blocks, Pd, rhs, phi, sp_: SolverParams,
-                             pc=None):
+                             pc=None, phi_prev=None):
         """Increment-form PCG for the EMI system (jittable): solve
         A d = b - A phi_0 around zero -- the f32 residual floor scales with
         ||d|| instead of ||phi||, while the tolerance stays relative to the
-        full rhs (b_ref)."""
+        full rhs (b_ref).
+
+        ``phi_prev`` enables the linear-predictor initial guess
+        2 phi_k - phi_{k-1}: during an AP upstroke phi changes fast but
+        smoothly, so extrapolation often lands far closer than phi_k (109
+        -> 11 iters measured on spike steps) -- but it overshoots at
+        trajectory kinks, so the guess with the smaller initial residual
+        is selected per solve (cost: one extra matvec)."""
         mv = lambda v: self._matvec(blocks, v)
-        r0 = rhs - mv(phi)
+        if phi_prev is not None:
+            pred = 2.0 * phi - phi_prev
+            ra = rhs - mv(phi)
+            rb = rhs - mv(pred)
+            use_pred = (jnp.vdot(rb.ravel(), rb.ravel())
+                        < jnp.vdot(ra.ravel(), ra.ravel()))
+            guess = jnp.where(use_pred, pred, phi)
+            r0 = jnp.where(use_pred, rb, ra)
+        else:
+            guess = phi
+            r0 = rhs - mv(phi)
         res = pcg(
             mv, r0, jnp.zeros_like(phi),
             self._make_precond(blocks, Pd, sp_, sym=True, pc=pc),
@@ -482,7 +500,7 @@ class Solver:
             project_nullspace=True, b_ref=rhs,
             nullspace_mask=getattr(self, "_pad_mask", None),
         )
-        return phi + res.x, res.iters, res.converged
+        return guess + res.x, res.iters, res.converged
 
     def _finalize_step(self, state, stats, c, phi, advance_time, t):
         """Post-solve updates (solver.py:808-845)."""
@@ -494,6 +512,8 @@ class Solver:
             t = t + self.params.dt
         new_state = dict(state)
         new_state.update(c=c, c_elim=c_elim, phi=phi, phi_M=phi_M, t=t)
+        if "phi_prev" in state:        # predictor base for the next step
+            new_state["phi_prev"] = state["phi"]
         return new_state, stats
 
     def _knp_assemble_all(self, c, c_elim, phi, phi_M_pad, I_ch_pad,
@@ -700,6 +720,7 @@ class Solver:
             "c": self.c_init,
             "c_elim": self.c_elim_init,
             "phi": self.phi_init,
+            "phi_prev": self.phi_init,   # linear-predictor base (EMI guess)
             "phi_M": jnp.asarray(phi_M),
             "I_ch": jnp.asarray(
                 np.zeros((len(self.ion_list), self.n_mem), dtype=np_dtype)
