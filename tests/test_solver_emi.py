@@ -14,8 +14,7 @@ from knpemidg_tpu.models.hh import HodgkinHuxleySI
 from knpemidg_tpu.solver_emi import StandardSolverEMI
 
 
-@pytest.mark.slow
-def test_emi_only_solver():
+def build_emi_solver():
     params = PhysicalParams(
         dt=1.0e-4, n_steps_ODE=25, C_M=0.02, temperature=300.0,
         F=96485.0, R=8.314,
@@ -39,6 +38,12 @@ def test_emi_only_solver():
     S.setup_parameters()
     S.setup_FEM_spaces()
     S.setup_membrane_model(stim, {1: HodgkinHuxleySI(stimulus=True)})
+    return S
+
+
+@pytest.mark.slow
+def test_emi_only_solver():
+    S = build_emi_solver()
     sp = SolverParams(direct_emi=False, direct_knp=False,
                       rtol_emi=1e-5, atol_emi=1e-40)
     c0 = np.asarray(S.c_init)
@@ -52,3 +57,29 @@ def test_emi_only_solver():
     assert phi_M[stim_sel].max() > -0.0743 + 2e-3
     # KNP never ran
     assert all(int(np.sum(k)) == 0 for k in S.stats.knp_niters)
+
+
+@pytest.mark.slow
+def test_emi_only_phased_stats(tmp_path):
+    """save_solver_stats on SolverEMI must use the EMI-only phase functions
+    (no KNP assembly/solve; VERDICT r2 Missing #2) and write the reference
+    stats-file protocol."""
+    S = build_emi_solver()
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-5, atol_emi=1e-40)
+    out = str(tmp_path) + "/"
+    import os
+    os.makedirs(out + "solver", exist_ok=True)
+    state = S.solve_system_active(3 * S.params.dt, 0.0, sp,
+                                  filename=out, save_solver_stats=True)
+    # phase record: EMI phases only, no KNP phases timed
+    assert S.stats.phase_records, "phased path did not run"
+    keys = set().union(*(p.keys() for p in S.stats.phase_records))
+    assert "emi_assem" in keys and "emi_solve" in keys
+    assert "knp_assem" not in keys and "knp_solve" not in keys
+    # EMI iteration counts recorded, KNP identically zero
+    assert all(n > 0 for n in S.stats.emi_niters)
+    assert all(int(np.sum(k)) == 0 for k in S.stats.knp_niters)
+    # stats files written (reference protocol, solver.py:1146-1198)
+    files = os.listdir(out + "solver")
+    assert any(f.startswith("emi_solve") for f in files), files
