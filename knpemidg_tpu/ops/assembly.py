@@ -261,39 +261,47 @@ def _test_integrals(g, vals_p, vals_m):
 def assemble_emi(
     g: Dict[str, Any],
     masks: Dict[str, Any],
-    ions: Dict[str, Any],        # z (n_ions,), D (n_ions, nc), c (n_ions, nd, nc)
+    ions: Dict[str, Any],        # z (n_ions,), D (n_ions, nc), c (n_ions, nd_c, nc)
     phys: Dict[str, Any],        # F, psi, C_phi, tau_emi, Lp
     phi_M: Optional[jnp.ndarray] = None,     # (n_mem+1,) padded
     I_ch_tot: Optional[jnp.ndarray] = None,  # (n_mem+1,) padded
     splitting: bool = True,
     mms=None,
     t=None,
+    gc: Optional[Dict[str, Any]] = None,
 ):
     """Build EMI block-ELL operator, rhs, and block-Jacobi preconditioner
     diagonal (the regularized B operator, solver.py:376-401).
 
+    ``gc``: geometry dict of the *concentration* space when it differs from
+    the EMI space (mixed ``degree_emi != degree_knp``, reference
+    solver.py:163-169); must share g's quadrature rule.  Defaults to ``g``.
+
     Returns (blocks (K,nd,nd,nc), rhs (nd,nc), P_diag (nd,nd,nc)).
     """
+    if gc is None:
+        gc = g
     z, D, c = ions["z"], ions["D"], ions["c"]
     F, psi, C_phi, tau = phys["F"], phys["psi"], phys["C_phi"], phys["tau_emi"]
 
-    # kappa = F * psi * sum_k z_k^2 D_k c_k   (DG1 field (nd, nc); solver.py:306)
+    # kappa = F * psi * sum_k z_k^2 D_k c_k   (nodal field in the c space,
+    # (nd_c, nc); solver.py:306)
     kappa = F * psi * jnp.einsum("k,kc,kic->ic", z * z, D, c)
 
     # --- cell term: int kappa grad(u).grad(v) ------------------------------
-    kbar = jnp.einsum("i,ic->c", g["phibar"], kappa) if "phibar" in g else \
-        jnp.einsum("q,qc->c", g["w_c"], jnp.einsum("qi,ic->qc", g["Phi_c"], kappa))
+    kbar = jnp.einsum("i,ic->c", gc["phibar"], kappa) if "phibar" in gc else \
+        jnp.einsum("q,qc->c", gc["w_c"], jnp.einsum("qi,ic->qc", gc["Phi_c"], kappa))
     if _degree(g) == 1:
         A_cell = (g["vol"] * kbar) * _GG(g)
     else:
-        kq = jnp.einsum("qa,ac->qc", g["Phi_c"], kappa)
+        kq = jnp.einsum("qa,ac->qc", gc["Phi_c"], kappa)
         Gq = _Gq(g)
         A_cell = g["vol"] * jnp.einsum("q,qc,qadc,qbdc->abc",
                                        g["w_c"], kq, Gq, Gq)
 
-    # --- facet traces of kappa ---------------------------------------------
-    kp = facet_trace(g, kappa, "p")                          # (nq, nf+1)
-    km = facet_trace(g, kappa, "m")
+    # --- facet traces of kappa (c-space trace tensors) ----------------------
+    kp = facet_trace(gc, kappa, "p")                         # (nq, nf+1)
+    km = facet_trace(gc, kappa, "m")
     gnp = _gn(g, "p")
     gnm = _gn(g, "m")
 
@@ -309,26 +317,38 @@ def assemble_emi(
     blocks = gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
 
     # --- rhs: diffusive terms, all ions -------------------------------------
+    # flux = sum_k z_k D_k grad(c_k) lives in the c space; the test-side
+    # integration lives in the EMI space -- each branches on its own degree
     ones = jnp.ones_like(g["f_Rp"][:, 0, :])                  # (nq, nf+1)
-    if _degree(g) == 1:
-        gradc = jnp.einsum("idc,kic->kdc", g["G"], c)        # (n_ions, d, nc)
-        flux = jnp.einsum("k,kc,kdc->dc", z, D, gradc)       # sum_k z D grad c
-        b_cell = -F * g["vol"] * jnp.einsum("dc,idc->ic", flux, g["G"])
+    if _degree(gc) == 1:
+        gradc = jnp.einsum("idc,kic->kdc", gc["G"], c)       # (n_ions, d, nc)
+        flux = jnp.einsum("k,kc,kdc->dc", z, D, gradc)       # (d, nc) per cell
+        flux_q = None
         fp = jnp.einsum("df,df->f", flux[:, g["f_cp"]], g["f_n"])
         fm = jnp.einsum("df,df->f", flux[:, g["f_cm"]], g["f_n"])
         favg_q = (0.5 * F * (fp + fm) * sip)[None, :] * ones  # (nq, nf+1)
     else:
-        Gq = _Gq(g)
-        gradc_q = jnp.einsum("qadc,kac->kqdc", Gq, c)
+        gradc_q = jnp.einsum("qadc,kac->kqdc", _Gq(gc), c)
         flux_q = jnp.einsum("k,kc,kqdc->qdc", z, D, gradc_q)
-        b_cell = -F * g["vol"] * jnp.einsum("q,qdc,qadc->ac",
-                                            g["w_c"], flux_q, Gq)
-        # n . (sum_k z D grad c) per side via the tabulated normal gradients
-        ncp = jnp.einsum("qaf,kaf->kqf", gnp, c[:, :, g["f_cp"]])
-        ncm = jnp.einsum("qaf,kaf->kqf", gnm, c[:, :, g["f_cm"]])
+        # n . (sum_k z D grad c) per side via the c-space normal gradients
+        gncp, gncm = _gn(gc, "p"), _gn(gc, "m")
+        ncp = jnp.einsum("qaf,kaf->kqf", gncp, c[:, :, g["f_cp"]])
+        ncm = jnp.einsum("qaf,kaf->kqf", gncm, c[:, :, g["f_cm"]])
         fp = jnp.einsum("k,kf,kqf->qf", z, D[:, g["f_cp"]], ncp)
         fm = jnp.einsum("k,kf,kqf->qf", z, D[:, g["f_cm"]], ncm)
         favg_q = 0.5 * F * (fp + fm) * sip[None, :]
+    if _degree(g) == 1:
+        fbar = flux if flux_q is None else \
+            jnp.einsum("q,qdc->dc", g["w_c"], flux_q)
+        b_cell = -F * g["vol"] * jnp.einsum("dc,idc->ic", fbar, g["G"])
+    else:
+        Gq = _Gq(g)
+        if flux_q is None:
+            b_cell = -F * g["vol"] * jnp.einsum("q,dc,qadc->ac",
+                                                g["w_c"], flux, Gq)
+        else:
+            b_cell = -F * g["vol"] * jnp.einsum("q,qdc,qadc->ac",
+                                                g["w_c"], flux_q, Gq)
     b_p, b_m = _test_integrals(g, favg_q, -favg_q)
 
     if mms is None:
@@ -420,13 +440,20 @@ def assemble_knp(
     mms_ion: Optional[int] = None,
     t=None,
     static_blocks: Optional[jnp.ndarray] = None,
+    gp: Optional[Dict[str, Any]] = None,
 ):
     """Build the KNP block-ELL operator + rhs for one solved ion.
+
+    ``gp``: geometry dict of the *potential* space when it differs from the
+    KNP space (mixed ``degree_emi != degree_knp``, reference
+    solver.py:163-169); must share g's quadrature rule.  Defaults to ``g``.
 
     Returns (blocks, rhs).  The reference's mixed system is block-diagonal
     across ions (coupling only through frozen phi / c_prev), so ions are
     independent scalar solves.
     """
+    if gp is None:
+        gp = g
     z, D = ion["z"], ion["D"]
     F, psi, C_M, dt = phys["F"], phys["psi"], phys["C_M"], phys["dt"]
 
@@ -441,8 +468,8 @@ def assemble_knp(
     sip = masks["f_sip"]
     mem = masks["f_mem"]
     scale = (-z * psi) * g["f_area"] * sip                       # (nf+1,)
-    if _degree(g) == 1:
-        gphi = cell_grad(g, phi)                                 # (d, nc)
+    if _degree(g) == 1 and _degree(gp) == 1:
+        gphi = cell_grad(gp, phi)                                # (d, nc)
         drift = jnp.einsum("idc,dc->ic", g["G"], gphi)           # (nd, nc)
         A_cell = (z * psi * (g["vol"] * D)
                   * drift[:, None, :] * phibar[None, :, None])
@@ -465,19 +492,35 @@ def assemble_knp(
         Mmp = -sp_ * _E(g, "mp")
         Mmm = sm_ * _E(g, "mm")
     else:
-        Gq = _Gq(g)
-        gphi_q = jnp.einsum("qadc,ac->qdc", Gq, phi)             # (nq, d, nc)
+        # general path: phi gradients from the phi space (gp), trial values /
+        # test gradients from the KNP space (g), all at the shared quad rule
+        nq_c = g["w_c"].shape[0]
+        if _degree(gp) == 1:
+            gphi_q = jnp.broadcast_to(cell_grad(gp, phi)[None],
+                                      (nq_c,) + phi.shape[1:][:0] + cell_grad(gp, phi).shape)
+        else:
+            gphi_q = jnp.einsum("qadc,ac->qdc", _Gq(gp), phi)    # (nq, d, nc)
+        if _degree(g) == 1:
+            Gq_v = jnp.broadcast_to(g["G"][None], (nq_c,) + g["G"].shape)
+        else:
+            Gq_v = _Gq(g)
         A_cell = (z * psi * (g["vol"] * D)) * jnp.einsum(
-            "q,qdc,qidc,qj->ijc", g["w_c"], gphi_q, Gq, g["Phi_c"])
+            "q,qdc,qidc,qj->ijc", g["w_c"], gphi_q, Gq_v, g["Phi_c"])
 
-        # upwind with per-qp normal phi-gradient traces
-        gnp_, gnm_ = _gn(g, "p"), _gn(g, "m")
-        un_p = jnp.maximum(
-            D[g["f_cp"]][None, :]
-            * jnp.einsum("qaf,af->qf", gnp_, phi[:, g["f_cp"]]), 0.0)
-        un_m = jnp.maximum(
-            -D[g["f_cm"]][None, :]
-            * jnp.einsum("qaf,af->qf", gnm_, phi[:, g["f_cm"]]), 0.0)
+        # upwind with per-qp normal phi-gradient traces (phi space)
+        nq_f = g["w_f"].shape[0]
+        if _degree(gp) == 1:
+            gphi = cell_grad(gp, phi)
+            np_ = jnp.einsum("df,df->f", gphi[:, g["f_cp"]], g["f_n"])[None, :]
+            nm_ = jnp.einsum("df,df->f", gphi[:, g["f_cm"]], g["f_n"])[None, :]
+            np_ = jnp.broadcast_to(np_, (nq_f, np_.shape[1]))
+            nm_ = jnp.broadcast_to(nm_, (nq_f, nm_.shape[1]))
+        else:
+            gnp_, gnm_ = _gn(gp, "p"), _gn(gp, "m")
+            np_ = jnp.einsum("qaf,af->qf", gnp_, phi[:, g["f_cp"]])
+            nm_ = jnp.einsum("qaf,af->qf", gnm_, phi[:, g["f_cm"]])
+        un_p = jnp.maximum(D[g["f_cp"]][None, :] * np_, 0.0)
+        un_m = jnp.maximum(-D[g["f_cm"]][None, :] * nm_, 0.0)
         w, Rp, Rm = g["w_f"], g["f_Rp"], g["f_Rm"]
         Mpp = scale * jnp.einsum("q,qf,qif,qjf->ijf", w, un_p, Rp, Rp)
         Mpm = -scale * jnp.einsum("q,qf,qif,qjf->ijf", w, un_m, Rp, Rm)
@@ -520,7 +563,7 @@ def assemble_knp(
         bg_p, bg_m = _test_integrals(g, -s_e * mem[None, :], s_i * mem[None, :])
 
         # coupling: -[phi][C] avg(v) - [phi] avg(C) [v] (solver.py:628-629)
-        jphi = facet_trace(g, phi, "p") - facet_trace(g, phi, "m")
+        jphi = facet_trace(gp, phi, "p") - facet_trace(gp, phi, "m")
         jC = C_p - C_m
         aC = 0.5 * (C_p + C_m)
         val_p = (-jphi * jC * 0.5 - jphi * aC) * mem[None, :]
@@ -543,7 +586,7 @@ def assemble_knp(
         # robin: + C_1 g_1 v_i - C_2 g_2 v_e (solver.py:653-654)
         mem2 = mem[None, :]
         br_p, br_m = _test_integrals(g, -C_e * g2 * mem2, C_i * g1 * mem2)
-        jphi = facet_trace(g, phi, "p") - facet_trace(g, phi, "m")
+        jphi = facet_trace(gp, phi, "p") - facet_trace(gp, phi, "m")
         jC = C_e - C_i           # [C] = C_plus - C_minus
         aC = 0.5 * (C_e + C_i)
         val_p = (-jphi * jC * 0.5 - jphi * aC) * mem2

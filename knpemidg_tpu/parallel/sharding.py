@@ -197,6 +197,11 @@ def shard_solver(S, mesh: DeviceMesh):
     ``attach_pc`` so the frozen preconditioner is built at padded shapes)."""
     from .halo import build_halo, halo_spmv_fn
 
+    if getattr(S, "mixed_degrees", False):
+        raise NotImplementedError(
+            "shard_solver does not yet support degree_emi != degree_knp "
+            "(the cell permutation / padding would need to rewrite both "
+            "geometry dicts); use equal degrees for sharded runs")
     n = mesh.devices.size
     nc = S.n_cells
     S._invalidate_caches()

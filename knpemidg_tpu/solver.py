@@ -64,13 +64,13 @@ class Traces:
 
     def plus(self, k):
         """ECS-side facet-average trace of ion k on this tag's membranes."""
-        g, mem = self._s.g, self._s.mem_dev
+        g, mem = self._s._g_knp(), self._s._mem_knp()
         vals = assembly.membrane_avg_m(g, mem, self._field(k), "p")
         return vals[self._sl[0]:self._sl[1]]
 
     def minus(self, k):
         """ICS-side facet-average trace of ion k."""
-        g, mem = self._s.g, self._s.mem_dev
+        g, mem = self._s._g_knp(), self._s._mem_knp()
         vals = assembly.membrane_avg_m(g, mem, self._field(k), "m")
         return vals[self._sl[0]:self._sl[1]]
 
@@ -85,12 +85,13 @@ class Solver:
 
     def __init__(self, params, ion_list, degree_emi=1, degree_knp=1, mms=None,
                  sf=1, dtype=None):
-        if degree_emi not in (1, 2) or degree_knp != degree_emi:
+        if degree_emi not in (1, 2) or degree_knp not in (1, 2):
             raise NotImplementedError(
-                "DG degrees 1 and 2 supported, with degree_emi == degree_knp "
-                "(the reference's DG_k spaces, solver.py:163-169; its shipped "
-                "runs all use 1)")
-        self.degree = degree_emi
+                "DG degrees 1 and 2 supported (the reference's DG_k spaces, "
+                "solver.py:163-169; its shipped runs all use 1)")
+        self.degree = degree_emi          # EMI (potential) space degree
+        self.degree_knp = degree_knp      # concentration space degree
+        self.mixed_degrees = degree_emi != degree_knp
         self.params = params if isinstance(params, PhysicalParams) else params
         self.ion_list = [
             i if isinstance(i, Ion) else ion_from_dict(i) for i in ion_list
@@ -119,14 +120,27 @@ class Solver:
         self._invalidate_caches()
         self._comp_np = compartment_ids(mesh)
         self.mesh = mesh
-        qd = quad_degree or 4
+        # both spaces must share one quadrature rule so cross-space fields
+        # (kappa in the EMI form, phi in the KNP form) evaluate at the same
+        # points under mixed degrees
+        qd = max(quad_degree or 4, 2 * self.degree, 2 * self.degree_knp)
         self.geom = build_geometry(mesh, quad_degree_cell=qd,
                                    quad_degree_facet=qd, degree=self.degree)
         self.g = assembly.precompute_static(self.geom.to_device(self.dtype))
+        if self.mixed_degrees:
+            self.geom_knp = build_geometry(mesh, quad_degree_cell=qd,
+                                           quad_degree_facet=qd,
+                                           degree=self.degree_knp)
+            self.g2 = assembly.precompute_static(
+                self.geom_knp.to_device(self.dtype))
+        else:
+            self.geom_knp = self.geom
         self.gdim = mesh.dim
         self.tau = 20.0 * self.gdim * self.degree
+        self.tau_knp = 20.0 * self.gdim * self.degree_knp
         self.n_cells = mesh.num_cells
         self.nd = self.geom.nd
+        self.nd_knp = self.geom_knp.nd
         # characteristic domain length for the B-operator mass scaling
         # (solver.py:383-393)
         ext = mesh.vertices.max(axis=0) - mesh.vertices.min(axis=0)
@@ -145,6 +159,12 @@ class Solver:
         self.mem_dev["Rm"] = self.g["f_Rm"][:, :, fidx]
         self.mem_dev["cp"] = self.g["f_cp"][fidx]
         self.mem_dev["cm"] = self.g["f_cm"][fidx]
+        if self.mixed_degrees:
+            # concentration-space trace tensors (Traces / Nernst read c
+            # fields; phi_M jumps read the EMI tensors above)
+            self.mem_dev2 = dict(self.mem_dev)
+            self.mem_dev2["Rp"] = self.g2["f_Rp"][:, :, fidx]
+            self.mem_dev2["Rm"] = self.g2["f_Rm"][:, :, fidx]
         nf1 = self.geom.f_stag.shape[0]
         self.masks = {
             "f_sip": jnp.asarray(self.geom.f_stag == 0),
@@ -184,11 +204,21 @@ class Solver:
         self.z = jnp.asarray([float(i.z) for i in self.ion_list], dtype=self.dtype)
         return self
 
-    def _interp_init(self, sub, kind) -> np.ndarray:
+    # knp-space accessors: with mixed degrees these return the second
+    # geometry / membrane tables, which travel through _jit as aux args;
+    # otherwise they alias the (possibly traced) EMI-space dicts
+    def _g_knp(self):
+        return getattr(self, "g2", None) or self.g
+
+    def _mem_knp(self):
+        return getattr(self, "mem_dev2", None) or self.mem_dev
+
+    def _interp_init(self, sub, kind, geom=None) -> np.ndarray:
         """Nodal interpolation of initial data per subdomain
         (solver.py:179-206).  Nodes are the degree-k Lagrange points."""
-        coords = self.geom.nodes                           # (nc, nd, d)
-        out = np.zeros((self.n_cells, self.nd))
+        geom = geom or self.geom
+        coords = geom.nodes                                # (nc, nd, d)
+        out = np.zeros((self.n_cells, geom.nd))
         if kind == "function":
             return np.asarray(sub, dtype=np.float64)
         for tag, val in sub.items():
@@ -210,7 +240,8 @@ class Solver:
         c0 = []
         for ion in self.ion_list:
             # host interpolation is (nc, nd); device layout is cells-last
-            c0.append(self._interp_init(ion.c_init_sub, ion.c_init_sub_type).T)
+            c0.append(self._interp_init(ion.c_init_sub, ion.c_init_sub_type,
+                                        geom=self.geom_knp).T)
         self.c_init = jnp.asarray(np.stack(c0[:-1]), dtype=self.dtype)
         self.c_elim_init = jnp.asarray(c0[-1], dtype=self.dtype)
         self.phi_init = jnp.asarray(
@@ -263,7 +294,7 @@ class Solver:
         p = self.params
         return {
             "F": p.F, "psi": p.psi, "C_M": p.C_M, "dt": p.dt,
-            "tau_knp": self.tau,
+            "tau_knp": self.tau_knp,
         }
 
     def _all_c(self, c, c_elim):
@@ -275,6 +306,7 @@ class Solver:
             self.g, self.masks, ions, self._phys_emi(),
             phi_M=phi_M_pad, I_ch_tot=I_ch_tot_pad,
             splitting=self.splitting_scheme, mms=self.mms, t=t,
+            gc=self._g_knp(),
         )
 
     @staticmethod
@@ -309,7 +341,7 @@ class Solver:
             ion = self.ion_list[k]
             iond = {"z": float(ion.z), "D": self.D[k]}
             fn = self._jit(("knp_static",), lambda ion: (
-                assembly.assemble_knp_static(self.g, self.masks, ion,
+                assembly.assemble_knp_static(self._g_knp(), self.masks, ion,
                                              self._phys_knp())))
             val = fn(iond)
             if isinstance(val, jax.core.Tracer):
@@ -331,11 +363,11 @@ class Solver:
             iond["C_sub_e"] = float(ion.C_sub[0])
         f_source = self._f_source_callable(ion)
         return assembly.assemble_knp(
-            self.g, self.masks, iond, self._phys_knp(), phi, alpha_sum,
+            self._g_knp(), self.masks, iond, self._phys_knp(), phi, alpha_sum,
             phi_M=phi_M_pad, I_ch_k=I_ch_pad[k], I_ch_tot=I_ch_tot_pad,
             f_source=f_source, splitting=self.splitting_scheme,
             mms=self.mms, mms_ion=k, t=t,
-            static_blocks=self._knp_static(k),
+            static_blocks=self._knp_static(k), gp=self.g,
         )
 
     # ------------------------------------------------------------------
@@ -525,7 +557,7 @@ class Solver:
         statics = jnp.stack([self._knp_static(k) for k in range(self.N_ions)])
 
         # f_source contributions (per-ion callables) outside the vmap
-        g = self.g
+        g = self._g_knp()
         src_rows = []
         for k in range(self.N_ions):
             fsrc = self._f_source_callable(self.ion_list[k])
@@ -536,7 +568,8 @@ class Solver:
                     "q,qc,qi->ic", g["w_c"], fq * ecs, g["Phi_c"]
                 ))
             else:
-                src_rows.append(jnp.zeros_like(phi))
+                src_rows.append(jnp.zeros((self.nd_knp, phi.shape[-1]),
+                                          dtype=phi.dtype))
         srcs = jnp.stack(src_rows)
 
         phys = self._phys_knp()
@@ -547,7 +580,7 @@ class Solver:
                 g, self.masks, iond, phys, phi, alpha_sum,
                 phi_M=phi_M_pad, I_ch_k=I_ch_k, I_ch_tot=I_ch_tot_pad,
                 f_source=None, splitting=self.splitting_scheme,
-                static_blocks=static_blocks,
+                static_blocks=static_blocks, gp=self.g,
             )
             return blocks, rhs + src
 
@@ -660,7 +693,7 @@ class Solver:
             for k, ion in enumerate(self.ion_list):
                 field = c_elim if k == len(self.ion_list) - 1 else c[k]
                 E = assembly.nernst_potential_m(
-                    self.g, self.mem_dev, field, float(ion.z),
+                    self._g_knp(), self._mem_knp(), field, float(ion.z),
                     p.F, p.R, p.temperature,
                 )[s0:s1]
                 if mm.has_param(f"E_{ion.name}"):
@@ -818,7 +851,7 @@ class Solver:
     # tensors + cached static operators into each program made the remote
     # TPU compiler constant-fold them for minutes (and risks its request
     # size limit); as parameters the programs stay small and compile fast.
-    _AUX_FIELDS = ("g", "masks", "D", "z", "rho", "mem_dev")
+    _AUX_FIELDS = ("g", "masks", "D", "z", "rho", "mem_dev", "g2", "mem_dev2")
 
     def _aux_pytree(self):
         aux = {}
@@ -1215,7 +1248,7 @@ class Solver:
             self._h5 = H5Writer(filename + "results.h5", self.mesh)
         if save_solver_stats:
             self.stats.open_files(filename + "solver/", self.mesh,
-                                  self.N_ions * self.n_cells * self.nd,
+                                  self.N_ions * self.n_cells * self.nd_knp,
                                   self.n_cells * self.nd, solver_params)
 
     def _io_step(self, state, k):
