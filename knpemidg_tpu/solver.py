@@ -574,6 +574,20 @@ class Solver:
 
         phys = self._phys_knp()
 
+        if self.degree == 1 and self.degree_knp == 1:
+            # production path: ONE shared-gather pass over all ions
+            # (assembly.assemble_knp_all -- phi/D/alpha/membrane traces and
+            # the block/rhs slot gathers are each issued once, not per ion)
+            ionsd = {"z": self.z[:self.N_ions], "D": self.D[:self.N_ions],
+                     "c_n": c_n, "c_k": c}
+            blocksK, rhsK = assembly.assemble_knp_all(
+                g, self.masks, ionsd, phys, phi, alpha_sum,
+                phi_M=phi_M_pad, I_ch=I_ch_pad[:self.N_ions],
+                I_ch_tot=I_ch_tot_pad, splitting=self.splitting_scheme,
+                static_blocks=statics, gp=self.g,
+            )
+            return blocksK, rhsK + srcs
+
         def asm_one(z, D, c_k, c_nk, I_ch_k, static_blocks, src):
             iond = {"z": z, "D": D, "c_n": c_nk, "c_k": c_k}
             blocks, rhs = assembly.assemble_knp(
