@@ -62,6 +62,12 @@ def main(fname="results/data/2D/", out="results/figures/2D/"):
     fig.tight_layout()
     fig.savefig(out + "summary.svg")
 
+    # reference-named 3x3 panel (make_figures_2D.py:180-264)
+    from figutil import pot_con_grid
+
+    pot_con_grid(res, point, ["K", "Cl"], "Na", out + "pot_con_2D.svg",
+                 v_scale=1e3, t_scale=1e3)
+
     write_vtu(out + "final.vtk", res.mesh,
               {"phi": fr["phi"], "K": fr["c"][0], "Na": fr["c_elim"]})
     res.close()

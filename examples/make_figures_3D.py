@@ -25,9 +25,11 @@ def main(fname="results/data/3D/", out="results/figures/3D/"):
     p_prox = (8e-6, 0.3e-6, 0.3e-6)
     p_dist = (24e-6, 0.3e-6, 0.3e-6)
     p_ax2 = (16e-6, 0.6e-6, 0.6e-6)
+    avail = set(int(t) for t in res.mesh.if_tags[res.mesh.if_tags > 0])
+    tag2 = [2] if 2 in avail else [1]      # passive axons (tag 2) if present
     s1 = res.membrane_series(p_prox, tags=[1])
     s2 = res.membrane_series(p_dist, tags=[1])
-    s3 = res.membrane_series(p_ax2, tags=[2])
+    s3 = res.membrane_series(p_ax2, tags=tag2)
 
     fig, axes = plt.subplots(1, 2, figsize=(10, 4))
     for s, lbl in ((s1, "axon1 prox"), (s2, "axon1 dist"), (s3, "axon2")):
@@ -43,6 +45,16 @@ def main(fname="results/data/3D/", out="results/figures/3D/"):
     axes[1].legend(fontsize=8)
     fig.tight_layout()
     fig.savefig(out + "membrane_series.svg")
+
+    # reference-named 3x3 panel + raw series side files
+    # (make_figures_3D.py:170-266)
+    from figutil import pot_con_grid, write_series_txt
+
+    s_grid = pot_con_grid(res, p_prox, ["K", "Cl"], "Na",
+                          out + "pot_con_3D.svg", v_scale=1e3, t_scale=1e3,
+                          tags=[1])
+    write_series_txt(fname + "solver/phi_M_3D.txt", s_grid["phi_M"] * 1e3)
+    write_series_txt(fname + "solver/K_ECS_3D.txt", s_grid["c_e"][:, 0])
 
     v = res.ap_velocity(p_prox, p_dist, threshold=0.0, tags=[1])
     print(f"AP conduction velocity axon 1: {v:.3g} m/s"

@@ -11,7 +11,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-from knpemidg_tpu.postprocess import Results, export_pvd, write_vtu
+from knpemidg_tpu.postprocess import (Results, export_membrane_pvd,
+                                      export_pvd, write_vtu)
 
 
 def main(fname="results/data/astro-tortuosity/",
@@ -24,12 +25,17 @@ def main(fname="results/data/astro-tortuosity/",
 
     os.makedirs(out, exist_ok=True)
     res = Results(fname + "results.h5")
-    roi_center = np.asarray(roi_center)
+    roi_center = np.asarray(roi_center)[: res.mesh.dim]
 
-    # glial membrane facet nearest the ROI (tag 2) + a distant one
-    s_near = res.membrane_series(roi_center, tags=[2])
+    # glial membrane tag 2 when present (the astro meshes); otherwise all
+    # membranes (lets the script run on any saved KNP-EMI dataset)
+    avail = set(int(t) for t in res.mesh.if_tags[res.mesh.if_tags > 0])
+    gtags = [2] if 2 in avail else None
+
+    # glial membrane facet nearest the ROI + a distant one
+    s_near = res.membrane_series(roi_center, tags=gtags)
     ext = res.mesh.vertices.max(axis=0)
-    s_far = res.membrane_series(ext * 0.1, tags=[2])
+    s_far = res.membrane_series(ext * 0.1, tags=gtags)
 
     fig, axes = plt.subplots(1, 3, figsize=(13, 4))
     axes[0].plot(s_near["t"], s_near["phi_M"], label="glia near ROI")
@@ -73,6 +79,20 @@ def main(fname="results/data/astro-tortuosity/",
     fig2.colorbar(im, ax=ax, label="[K]$_e$ (mM)")
     fig2.tight_layout()
     fig2.savefig(out + "k_wave_spacetime.svg")
+
+    # reference-named panels: the glial concentration grid ('plot.svg',
+    # make_figures.py:390-483), the membrane surface maps over time
+    # (plot_surface_time, :621-707) and the membrane-sheet ParaView series
+    # (plot_surface / DltWriter, :523-620)
+    from figutil import pot_con_grid, surface_time_montage
+
+    ions = ["K", "Na"] if res.frame(0)["c"].shape[0] == 2 else ["K"]
+    pot_con_grid(res, roi_center, ions, "Cl", out + "plot.svg", tags=gtags)
+    surface_time_montage(res, out + "surface_time.svg", field="phi_M",
+                         tags=gtags)
+    surface_time_montage(res, out + "surface_time_K.svg", field="K_e",
+                         tags=gtags, cmap="magma")
+    export_membrane_pvd(res, out + "membrane.pvd", tags=gtags)
 
     write_vtu(out + "final.vtk", res.mesh,
               {"phi": fr["phi"], "K": fr["c"][0], "Na": fr["c"][1]})

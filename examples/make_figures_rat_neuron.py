@@ -9,7 +9,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-from knpemidg_tpu.postprocess import Results, export_pvd, write_vtu
+from knpemidg_tpu.postprocess import (Results, export_membrane_pvd,
+                                      export_pvd, write_vtu)
 
 
 def main(fname="results/data/rat-neuron/", out="results/figures/rat-neuron/",
@@ -41,6 +42,17 @@ def main(fname="results/data/rat-neuron/", out="results/figures/rat-neuron/",
     ax.legend()
     fig.tight_layout()
     fig.savefig(out + "membrane_series.svg")
+
+    # reference-named 3x3 panel (make_figures_rat_neuron.py:318-414),
+    # membrane surface maps over time (:423-610), and the membrane-sheet
+    # ParaView series (DltWriter analog)
+    from figutil import pot_con_grid, surface_time_montage
+
+    pot_con_grid(res, p2, ["K", "Cl"], "Na", out + "pot_con_rat_3D.svg",
+                 v_scale=1e3, t_scale=1e3)
+    surface_time_montage(res, out + "surface_time.svg", field="phi_M",
+                         v_scale=1e3)
+    export_membrane_pvd(res, out + "membrane.pvd")
 
     v = res.ap_velocity(p1, p2, threshold=threshold)
     print(f"AP conduction velocity: {v:.4g} m/s"

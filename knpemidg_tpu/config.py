@@ -31,6 +31,7 @@ class PhysicalParams:
     C_M: float = 0.02                           # membrane capacitance
     C_phi: Optional[float] = None               # coupling coeff, default C_M/dt
     n_steps_ODE: int = 25                       # ODE substeps per PDE step
+    ode_scheme: str = "rk4"                     # 'rk4' | 'rush_larsen'
     phi_M_init: Any = 0.0                       # float | callable(x)->val | array
     phi_M_init_type: str = "constant"           # constant | expression | function
     rho_sub: Optional[Dict[int, Any]] = None    # immobile background charge per subdomain
@@ -104,6 +105,7 @@ class SolverParams:
     # system often prefers plain block-Jacobi (no coarse-apply cost)
     precond_knp: str = ""
     agg_size: int = 64                      # cells per coarse aggregate
+    knp_solver: str = "gmres"               # 'gmres' | 'bicgstab' (batched)
     # EMI deflation enrichment: per-compartment polynomial moments of this
     # order join the exact compartment-constant deflation (0 = off).  The
     # membrane surface harmonics they capture dominate the CG count during

@@ -90,15 +90,29 @@ def get_param(mm: MembraneState, name: str):
     return mm.params[mm.model.PARAMS[name]]
 
 
-def ode_step(mm: MembraneState, t, dt: float, n_sub: int) -> MembraneState:
-    """Advance all points by dt with n_sub RK4 substeps, then refresh the
-    channel-current parameters from the final state."""
+def ode_step(mm: MembraneState, t, dt: float, n_sub: int,
+             scheme: str = "rk4") -> MembraneState:
+    """Advance all points by dt with n_sub substeps, then refresh the
+    channel-current parameters from the final state.
+
+    ``scheme``:
+      * ``"rk4"`` (default) -- classic fixed-substep RK4, validated < 0.1 mV
+        vs LSODA at the reference apps' dt / n_steps_ODE;
+      * ``"rush_larsen"`` -- exponential (exact-in-frozen-V) update for the
+        gating states ``dy = a(V)(1-y) - b(V)y``, midpoint RK2 for the
+        rest.  Unconditionally stable in the gates, so it keeps accuracy at
+        larger dt where RK4's substeps start to strain (the stiffness-robust
+        option standing in for the reference's adaptive LSODA,
+        src/knpemidg/membrane.py:108-113).  Falls back to RK4 when the
+        model declares no gating split.
+    """
     model = mm.model
     if isinstance(mm.states, np.ndarray):
         mm = dataclasses.replace(
             mm, states=jnp.asarray(mm.states), params=jnp.asarray(mm.params)
         )
     h = dt / n_sub
+    gating = model.gating_indices() if scheme == "rush_larsen" else None
 
     def rk4_point(y, p):
         def sub(i, carry):
@@ -112,7 +126,33 @@ def ode_step(mm: MembraneState, t, dt: float, n_sub: int) -> MembraneState:
         y, _ = jax.lax.fori_loop(0, n_sub, sub, (y, jnp.asarray(t, y.dtype)))
         return y
 
-    states = jax.vmap(rk4_point, in_axes=-1, out_axes=-1)(mm.states, mm.params)
+    def rl_point(y, p):
+        gidx = jnp.asarray(gating, dtype=jnp.int32)
+
+        def gate_half(y, tt, hh):
+            # exponential gate update: y_g <- y_inf + (y_g - y_inf) e^{-hh/tau}
+            a, b = model.gating_rates(tt, y, p)
+            tau_inv = a + b
+            y_inf = a / tau_inv
+            newg = y_inf + (y[gidx] - y_inf) * jnp.exp(-hh * tau_inv)
+            return y.at[gidx].set(newg)
+
+        def sub(i, carry):
+            # Strang split (2nd order): half exponential gates, midpoint RK2
+            # for the non-gating states with gate rows frozen, half gates
+            y, tt = carry
+            y = gate_half(y, tt, 0.5 * h)
+            k1 = model.rhs(tt, y, p).at[gidx].set(0.0)
+            k2 = model.rhs(tt + 0.5 * h, y + 0.5 * h * k1, p).at[gidx].set(0.0)
+            y = y + h * k2
+            y = gate_half(y, tt + 0.5 * h, 0.5 * h)
+            return (y, tt + h)
+
+        y, _ = jax.lax.fori_loop(0, n_sub, sub, (y, jnp.asarray(t, y.dtype)))
+        return y
+
+    point = rl_point if gating else rk4_point
+    states = jax.vmap(point, in_axes=-1, out_axes=-1)(mm.states, mm.params)
     mm = dataclasses.replace(mm, states=states)
 
     # write back channel currents at (t+dt, y_final) -- the reference's RHS

@@ -60,6 +60,22 @@ class ODEModel:
     def currents(self, t, y, params) -> Dict[str, jnp.ndarray]:  # pragma: no cover
         raise NotImplementedError
 
+    # -- Rush-Larsen split (optional) ---------------------------------------
+    # Models whose states include Hodgkin-Huxley-type gates
+    # ``dy = alpha(V)(1-y) - beta(V) y`` may declare them to enable the
+    # exponential-integrator option (membrane/engine.ode_step
+    # scheme='rush_larsen').
+    GATING_STATES: Sequence[str] = ()
+
+    def gating_indices(self):
+        """Static tuple of gating-state indices ((), i.e. falsy, when the
+        model declares none -> engine falls back to RK4)."""
+        return tuple(self.STATES[n] for n in self.GATING_STATES)
+
+    def gating_rates(self, t, y, params):             # pragma: no cover
+        """(alpha, beta) stacked over GATING_STATES order, each (n_g,)."""
+        raise NotImplementedError
+
 
 def sodium_potassium_pump_saturating(I_max, m_K, K_e, m_Na, Na_i):
     """Na/K-ATPase: I_max / ((1 + m_K/K_e)^2 (1 + m_Na/Na_i)^3)

@@ -93,6 +93,12 @@ class HodgkinHuxleySI(ODEModel):
             ]
         )
 
+    GATING_STATES = ("m", "h", "n")
+
+    def gating_rates(self, t, y, p_):
+        am, bm, ah, bh, an, bn = hh_gating_rates_SI(y[3])
+        return jnp.stack([am, ah, an]), jnp.stack([bm, bh, bn])
+
     def currents(self, t, y, p_):
         i_Na, i_K = self._currents(t, y, p_)
         return {"I_ch_Na": i_Na, "I_ch_K": i_K, "I_ch_Cl": jnp.zeros_like(i_Na)}
@@ -160,6 +166,12 @@ class HodgkinHuxleyMV(ODEModel):
                 (-i_K - i_Na) / Cm,
             ]
         )
+
+    GATING_STATES = ("m", "h", "n")
+
+    def gating_rates(self, t, y, p_):
+        am, bm, ah, bh, an, bn = hh_gating_rates_mV(y[3])
+        return jnp.stack([am, ah, an]), jnp.stack([bm, bh, bn])
 
     def currents(self, t, y, p_):
         i_Na, i_K = self._currents(t, y, p_)

@@ -88,8 +88,15 @@ def build_halo(nbr: np.ndarray, n_devices: int, align: int = 128
 
 
 def halo_spmv_fn(halo, mesh: DeviceMesh, axis: str = "cells"):
-    """Return ``mv(blocks, x) -> y``: the block-ELL matvec with explicit
-    halo exchange under ``shard_map``.
+    """Return ``(halo_arrays, mv)``: the block-ELL matvec with explicit
+    halo exchange under ``shard_map``, called as
+    ``mv(halo_arrays, blocks, x) -> y``.
+
+    ``halo_arrays`` holds the device-placed static metadata (send lists +
+    remapped neighbor table); it must be passed as an ARGUMENT through
+    every jit boundary -- under a multi-process mesh, closing over a
+    process-spanning array inside a jitted function is an error (and on
+    single-process it would bake multi-MB constants into the program).
 
     ``blocks`` is (K, nd, nd, n_pad) or batched (m, K, nd, nd, n_pad);
     ``x`` correspondingly (nd, n_pad) or (m, nd, n_pad), both sharded on
@@ -98,11 +105,13 @@ def halo_spmv_fn(halo, mesh: DeviceMesh, axis: str = "cells"):
     is paid once for all batched systems."""
     S = int(halo["S"])
     K = int(halo["nbr_local"].shape[1])
-    send_idx = jax.device_put(
-        jnp.asarray(halo["send_idx"]), NamedSharding(mesh, P(axis, None)))
-    nbr_local = jax.device_put(
-        jnp.asarray(halo["nbr_local"]),
-        NamedSharding(mesh, P(axis, None, None)))
+    halo_arrays = {
+        "send_idx": jax.device_put(
+            jnp.asarray(halo["send_idx"]), NamedSharding(mesh, P(axis, None))),
+        "nbr_local": jax.device_put(
+            jnp.asarray(halo["nbr_local"]),
+            NamedSharding(mesh, P(axis, None, None))),
+    }
 
     def body(nbr_p, send_p, blocks, x):
         # per-shard shapes: nbr_p (1, K, S), send_p (1, B),
@@ -119,7 +128,7 @@ def halo_spmv_fn(halo, mesh: DeviceMesh, axis: str = "cells"):
         y = jnp.einsum("mijc,mjc->mic", blocks[:, 0], x)
         return y + jnp.einsum("mkijc,mjkc->mic", blocks[:, 1:], xg)
 
-    def mv(blocks, x):
+    def mv(arrays, blocks, x):
         batched = x.ndim == 3
         if not batched:
             blocks, x = blocks[None], x[None]
@@ -129,7 +138,7 @@ def halo_spmv_fn(halo, mesh: DeviceMesh, axis: str = "cells"):
                       P(None, None, None, None, axis), P(None, None, axis)),
             out_specs=P(None, None, axis),
         )
-        y = f(nbr_local, send_idx, blocks, x)
+        y = f(arrays["nbr_local"], arrays["send_idx"], blocks, x)
         return y if batched else y[0]
 
-    return mv
+    return halo_arrays, mv

@@ -214,10 +214,18 @@ def shard_solver(S, mesh: DeviceMesh):
 
     S.g, S.masks = pad_facet_axis(S.g, S.masks, n, S.n_mem)
 
+    # host snapshot of the permuted+padded node coordinates: the moment-
+    # deflation build reads them on host, and the sharded device array is
+    # not addressable under a multi-process mesh
+    S._nodes_np = np.asarray(S.g["nodes"])
+
     repl = NamedSharding(mesh, P())
 
     def put(d, keys):
-        for k in keys:
+        # sorted: device_put to a process-spanning sharding is a COLLECTIVE
+        # (jax cross-process equality check) -- set iteration order is
+        # hash-randomized per process and would misalign the sequences
+        for k in sorted(keys):
             v = d.get(k)
             if v is not None and hasattr(v, "ndim") and v.ndim >= 1:
                 d[k] = jax.device_put(v, _last_axis_spec(mesh, v.ndim))
@@ -232,8 +240,20 @@ def shard_solver(S, mesh: DeviceMesh):
     S.rho = jax.device_put(S.rho, _last_axis_spec(mesh, 1))
     for k in ("fidx", "mem_of_facet", "midpoints"):
         S.mem_dev[k] = jax.device_put(S.mem_dev[k], repl)
+    # replicate every remaining array leaf: under a multi-process mesh all
+    # jit inputs must be global arrays (single-device-committed leftovers
+    # would mix addressable domains)
+    for d in (S.g, S.masks, S.mem_dev):
+        for k, v in d.items():
+            if hasattr(v, "ndim") and not hasattr(v, "sharding"):
+                d[k] = jax.device_put(v, repl)
+            elif (hasattr(v, "sharding")
+                  and getattr(v.sharding, "mesh", None) is not mesh
+                  and not isinstance(v.sharding, NamedSharding)):
+                d[k] = jax.device_put(v, repl)
+    S.z = jax.device_put(S.z, repl)
 
-    S._halo_mv = halo_spmv_fn(halo, mesh)
+    S._halo_data, S._halo_mv = halo_spmv_fn(halo, mesh)
 
     perm_j = jnp.asarray(perm)
 
@@ -251,15 +271,21 @@ def shard_solver(S, mesh: DeviceMesh):
                                              v.shape[:-1] + (extra,))],
                         axis=-1)
             out[key] = jax.device_put(v, _last_axis_spec(mesh, v.ndim))
-        out["phi_M"] = jax.device_put(state["phi_M"], repl)
-        out["I_ch"] = jax.device_put(state["I_ch"], repl)
-        if "pc" in state:
-            # frozen coarse-level data: small dense matrices, replicate
-            out["pc"] = jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, repl), state["pc"]
+        # everything else (phi_M, I_ch, t, ODE membrane states/params, pc)
+        # is replicated -- under a multi-process mesh every jit input must
+        # be a global array, so single-device-committed leaves are lifted
+        # to an explicit replicated sharding here
+        sharded = {"c", "c_elim", "phi", "phi_prev"}
+        for key, v in state.items():
+            if key in sharded:
+                continue
+            out[key] = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, repl) if hasattr(a, "ndim") else a,
+                v,
             )
         return out
 
+    S._shard_state = shard_state
     return shard_state
 
 

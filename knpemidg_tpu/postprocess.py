@@ -58,7 +58,8 @@ class Results:
     def nearest_membrane_facet(self, point, tags=None) -> int:
         fids = self.membrane_facets(tags)
         mids = self.mesh.vertices[self.mesh.if_verts[fids]].mean(axis=1)
-        return int(fids[np.argmin(np.linalg.norm(mids - np.asarray(point), axis=1))])
+        p = np.asarray(point)[: mids.shape[1]]     # tolerate 3D probes on 2D
+        return int(fids[np.argmin(np.linalg.norm(mids - p, axis=1))])
 
     def _facet_avg(self, field, fid, side):
         """Facet-average trace of a DG1 field on one interior facet."""
@@ -110,8 +111,30 @@ class Results:
         t1, t2 = crossing(s1), crossing(s2)
         if t1 is None or t2 is None or t2 == t1:
             return float("nan")
-        dist = np.linalg.norm(np.asarray(p2) - np.asarray(p1))
+        d = self.mesh.dim
+        dist = np.linalg.norm(np.asarray(p2)[:d] - np.asarray(p1)[:d])
         return float(dist / abs(t2 - t1))
+
+    # -- whole-membrane fields (reference plot_surface/plot_surface_time,
+    # local-astrocyte-depolarization/make_figures.py:523-707) ----------------
+    def membrane_midpoints(self, tags=None):
+        fids = self.membrane_facets(tags)
+        return self.mesh.vertices[self.mesh.if_verts[fids]].mean(axis=1)
+
+    def membrane_trace_field(self, field, side="p", tags=None):
+        """Facet-average trace of a DG field on EVERY membrane facet ->
+        (n_mem_facets,).  side 'p' = ECS, 'm' = ICS."""
+        fids = self.membrane_facets(tags)
+        g = self.geom
+        field = np.asarray(field)
+        R = (g.f_Rp if side == "p" else g.f_Rm)[fids]      # (nm, nq, nd)
+        c = (g.f_cp if side == "p" else g.f_cm)[fids]
+        return np.einsum("q,fqi,fi->f", g.w_f, R, field[c])
+
+    def membrane_potential_field(self, phi, tags=None):
+        """phi_M = ICS - ECS trace on every membrane facet."""
+        return (self.membrane_trace_field(phi, "m", tags)
+                - self.membrane_trace_field(phi, "p", tags))
 
     # -- field sampling -------------------------------------------------------
     def sample_line(self, field, start, end, n=200):
@@ -276,3 +299,77 @@ def write_vtu(filename: str, mesh: Mesh, cell_fields: Dict[str, np.ndarray] = No
             vals = arr.mean(axis=1) if arr.ndim == 2 else arr
             f.write(f"SCALARS {name} double 1\nLOOKUP_TABLE default\n")
             np.savetxt(f, vals, fmt="%.10g")
+
+
+def write_surface_vtu(filename: str, mesh: Mesh, facet_ids: np.ndarray,
+                      facet_fields: Dict[str, np.ndarray]):
+    """XML .vtu of the membrane SURFACE mesh (facets as line/triangle
+    elements) with per-facet cell data -- the analog of the reference's
+    DltWriter 'bar' output (make_figures.py:598-600), viewable in ParaView
+    as the membrane sheet colored by phi_M / trace concentrations."""
+    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+    fverts = mesh.if_verts[facet_ids]                   # (nm, d)
+    used = np.unique(fverts)
+    remap = np.full(mesh.vertices.shape[0], -1, dtype=np.int64)
+    remap[used] = np.arange(used.size)
+    conn = remap[fverts]
+    nv, d = used.size, mesh.vertices.shape[1]
+    nm, npf = conn.shape
+    vtk_type = 3 if npf == 2 else 5                     # line / triangle
+    verts3 = np.hstack([mesh.vertices[used],
+                        np.zeros((nv, 3 - d))])
+
+    def arr(f, a, name, typ, ncomp=1):
+        f.write(f'<DataArray type="{typ}" Name="{name}" '
+                f'NumberOfComponents="{ncomp}" format="ascii">\n')
+        np.savetxt(f, np.asarray(a).reshape(-1, ncomp),
+                   fmt="%d" if typ.startswith(("Int", "UInt")) else "%.9g")
+        f.write("</DataArray>\n")
+
+    with open(filename, "w") as f:
+        f.write('<?xml version="1.0"?>\n'
+                '<VTKFile type="UnstructuredGrid" version="0.1" '
+                'byte_order="LittleEndian">\n<UnstructuredGrid>\n'
+                f'<Piece NumberOfPoints="{nv}" NumberOfCells="{nm}">\n')
+        f.write("<Points>\n")
+        arr(f, verts3, "Points", "Float64", 3)
+        f.write("</Points>\n<Cells>\n")
+        arr(f, conn, "connectivity", "Int64")
+        arr(f, (np.arange(nm) + 1) * npf, "offsets", "Int64")
+        arr(f, np.full(nm, vtk_type), "types", "UInt8")
+        f.write("</Cells>\n<CellData>\n")
+        for name, a in facet_fields.items():
+            arr(f, np.asarray(a), name, "Float64")
+        f.write("</CellData>\n<PointData>\n</PointData>\n"
+                "</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
+
+
+def export_membrane_pvd(results: "Results", path: str, tags=None,
+                        frames=None):
+    """Membrane-surface ParaView time series: phi_M + ECS potassium trace
+    per facet per frame (reference plot_surface, make_figures.py:523-620)."""
+    assert path.endswith(".pvd")
+    stem = os.path.splitext(os.path.basename(path))[0]
+    dirn = os.path.dirname(path) or "."
+    os.makedirs(dirn, exist_ok=True)
+    fids = results.membrane_facets(tags)
+    entries = []
+    frames = range(results.n_frames) if frames is None else frames
+    for i in frames:
+        fr = results.frame(i)
+        fields = {
+            "phi_M": results.membrane_potential_field(fr["phi"], tags),
+            "K_e": results.membrane_trace_field(fr["c"][0], "p", tags),
+        }
+        rel = f"{stem}_{len(entries):06d}.vtu"
+        write_surface_vtu(os.path.join(dirn, rel), results.mesh, fids, fields)
+        entries.append((float(results.times[i]), rel))
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n'
+                '<VTKFile type="Collection" version="0.1" '
+                'byte_order="LittleEndian">\n<Collection>\n')
+        for t, rel in entries:
+            f.write(f'<DataSet timestep="{t:.10g}" group="" part="0" '
+                    f'file="{rel}"/>\n')
+        f.write("</Collection>\n</VTKFile>\n")
+    return path

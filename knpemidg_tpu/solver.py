@@ -36,7 +36,7 @@ from .ops import assembly
 from .ops.spmv import (bell_matvec, bell_matvec_fan,
                        bell_matvec_multi, block_jacobi_apply,
                        block_jacobi_inverse)
-from .solvers.krylov import gmres, gmres_batched, pcg
+from .solvers.krylov import bicgstab_batched, gmres, gmres_batched, pcg
 from .solvers import direct as direct_solvers
 from .solvers.twolevel import (build_moment_deflation, build_two_level,
                                compartment_ids, make_two_level,
@@ -637,12 +637,19 @@ class Solver:
             Pinv = jax.vmap(block_jacobi_inverse)(blocksK[:, 0])
             pcf = lambda r: jnp.einsum("mijc,mjc->mic", Pinv, r)
         r0 = rhsK - mv(c)
-        res = gmres_batched(
-            mv, r0, jnp.zeros_like(r0), pcf,
-            rtol=sp_.rtol_knp, atol=sp_.atol_knp,
-            max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
-            b_ref=rhsK,
-        )
+        if getattr(sp_, "knp_solver", "gmres") == "bicgstab":
+            res = bicgstab_batched(
+                mv, r0, jnp.zeros_like(r0), pcf,
+                rtol=sp_.rtol_knp, atol=sp_.atol_knp,
+                max_it=sp_.max_it_knp, b_ref=rhsK,
+            )
+        else:
+            res = gmres_batched(
+                mv, r0, jnp.zeros_like(r0), pcf,
+                rtol=sp_.rtol_knp, atol=sp_.atol_knp,
+                max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
+                b_ref=rhsK,
+            )
         return c + res.x, res.iters, res.converged
 
     # ------------------------------------------------------------------
@@ -717,7 +724,8 @@ class Solver:
             for name, vals in upd.items():
                 mm = set_param(mm, name, vals)
             # integrate
-            mm = ode_step(mm, state["t"], p.dt, p.n_steps_ODE)
+            mm = ode_step(mm, state["t"], p.dt, p.n_steps_ODE,
+                          scheme=getattr(p, "ode_scheme", "rk4"))
             new_mem[tag] = mm
             I_ch_rows.append((s0, s1, mm))
 
@@ -788,7 +796,8 @@ class Solver:
         drivers (solver.py:930-1011)."""
         self.splitting_scheme = False
         self._io_setup(filename, save_fields, save_solver_stats, solver_params)
-        state = self.attach_pc(self._initial_state(float(t)), solver_params)
+        state = self.attach_pc(self._maybe_shard(self._initial_state(float(t))),
+                               solver_params)
         if self._h5 is not None:       # initial frame (solver.py:1223-1225)
             self._h5.append(state)
         n_steps = int(round(Tstop / self.params.dt))
@@ -812,7 +821,8 @@ class Solver:
         (iterative solvers only); I/O and stats are recorded per block."""
         self.splitting_scheme = True
         self._io_setup(filename, save_fields, save_solver_stats, solver_params)
-        state = self.attach_pc(self._initial_state(float(t)), solver_params)
+        state = self.attach_pc(self._maybe_shard(self._initial_state(float(t))),
+                               solver_params)
         if self._h5 is not None:       # initial frame (solver.py:1223-1225)
             self._h5.append(state)
         n_steps = int(round(Tstop / self.params.dt))
@@ -865,7 +875,8 @@ class Solver:
     # tensors + cached static operators into each program made the remote
     # TPU compiler constant-fold them for minutes (and risks its request
     # size limit); as parameters the programs stay small and compile fast.
-    _AUX_FIELDS = ("g", "masks", "D", "z", "rho", "mem_dev", "g2", "mem_dev2")
+    _AUX_FIELDS = ("g", "masks", "D", "z", "rho", "mem_dev", "g2", "mem_dev2",
+                   "_halo_data")
 
     def _aux_pytree(self):
         aux = {}
@@ -940,7 +951,7 @@ class Solver:
         Handles both single systems (nd, nc) and ion-batched (m, nd, nc)."""
         mv = getattr(self, "_halo_mv", None)
         if mv is not None:
-            return mv(blocks, v)
+            return mv(self._halo_data, blocks, v)
         if v.ndim == 3:
             return bell_matvec_multi(blocks, self.g["nbr"], v)
         return bell_matvec(blocks, self.g["nbr"], v)
@@ -1033,9 +1044,13 @@ class Solver:
         """Galerkin data for the per-compartment moment deflation
         (solvers/twolevel.moment_vectors): coordinates follow the shard
         renumbering/padding when the solver is sharded."""
-        # g["nodes"] (nd, d, nc) already follows any shard permutation and
-        # padding of the cell axis
-        coords = np.moveaxis(np.asarray(self.g["nodes"], dtype=np.float64),
+        # nodes (nd, d, nc) already follow any shard permutation and
+        # padding of the cell axis; sharded solvers keep a host snapshot
+        # (the device array is non-addressable under a multi-process mesh)
+        nodes = getattr(self, "_nodes_np", None)
+        if nodes is None:
+            nodes = np.asarray(self.g["nodes"], dtype=np.float64)
+        coords = np.moveaxis(np.asarray(nodes, dtype=np.float64),
                              -1, 0)                        # (nc_pad, nd, d)
         comp = self._comp_np
         extra = coords.shape[0] - comp.shape[0]
@@ -1265,9 +1280,21 @@ class Solver:
                                   self.N_ions * self.n_cells * self.nd_knp,
                                   self.n_cells * self.nd, solver_params)
 
+    def _maybe_shard(self, state):
+        """Pad + place a fresh state when the solver has been sharded
+        (parallel/sharding.shard_solver) so the production drivers
+        (solve_system_active/passive) run sharded unchanged."""
+        fn = getattr(self, "_shard_state", None)
+        return fn(state) if fn is not None else state
+
     def _io_step(self, state, k):
         if self._h5 is not None and (k % self.sf) == 0:
-            self._h5.append(state)
+            if getattr(self, "_shard_state", None) is not None:
+                from .parallel.sharding import unpad_state
+
+                self._h5.append(dict(state, **unpad_state(self, state)))
+            else:
+                self._h5.append(state)
 
     def _io_close(self):
         if self._h5 is not None:

@@ -5,7 +5,10 @@ system with explicit constant-nullspace projection standing in for
 ``setNearNullSpace`` (solver.py:465-490), GMRES for the nonsymmetric
 (upwinded) KNP systems (solver.py:683-701).
 
-Convergence test: ||r||_2 <= max(rtol * ||b||_2, atol), true residual.
+Convergence test: ||M^-1 r||_2 <= max(rtol * ||M^-1 b||_2, atol) -- the
+PRECONDITIONED residual norm, matching the PETSc KSP defaults
+(KSP_NORM_PRECONDITIONED) the reference's CG/GMRES solves rely on; see
+the pcg/gmres docstrings for why this matters for the EMI physics.
 All reductions are plain jnp dots, which lower to psum when the operand
 arrays are sharded over the device mesh.
 """
@@ -392,3 +395,91 @@ def gmres_batched(
     return KrylovResult(
         x=x.reshape(shape), iters=it, resnorm=rn, converged=rn <= tol
     )
+
+
+def bicgstab_batched(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    precond: Callable,
+    rtol: float,
+    atol: float,
+    max_it: int,
+    b_ref: Optional[jnp.ndarray] = None,
+) -> KrylovResult:
+    """m independent left-preconditioned BiCGStab solves sharing one loop.
+
+    Same batching contract as :func:`gmres_batched` (matvec/precond act on
+    the full (m, ...) batch; converged systems freeze).  Why it exists:
+    GMRES(m) + CGS2 reads the whole static-shaped Krylov basis four times
+    per iteration (~480 MB/iter on the EMIx mesh at restart 30) -- BiCGStab
+    keeps seven work vectors, paying two matvec+precond applies per
+    iteration instead, which wins once iteration counts exceed ~the
+    restart length's worth of basis traffic.  Each iteration does TWO
+    matvecs; `iters` counts iterations (PETSc KSPBCGS convention).
+
+    Convergence is tested in the preconditioned residual norm against
+    ``rtol * ||M^-1 b_ref||`` (left preconditioning, matching gmres here
+    and PETSc's default norm for bcgs)."""
+    mb = b.shape[0]
+    shape = b.shape
+    n = b.size // mb
+    bv = b.reshape(mb, n)
+
+    def Aop(v):
+        return precond(matvec(v.reshape(shape))).reshape(mb, n)
+
+    def norms(v):
+        return jnp.sqrt(jnp.einsum("sn,sn->s", v, v))
+
+    def dots(a, c):
+        return jnp.einsum("sn,sn->s", a, c)
+
+    bz = precond((bv if b_ref is None else b_ref.reshape(mb, n))
+                 .reshape(shape)).reshape(mb, n)
+    tol = jnp.maximum(rtol * norms(bz), atol)
+
+    x = x0.reshape(mb, n)
+    r = precond((bv - matvec(x0).reshape(mb, n)).reshape(shape)).reshape(mb, n)
+    rhat = r
+    rho = jnp.ones(mb, dtype=b.dtype)
+    alpha = jnp.ones(mb, dtype=b.dtype)
+    omega = jnp.ones(mb, dtype=b.dtype)
+    v = jnp.zeros_like(r)
+    p = jnp.zeros_like(r)
+    ks = jnp.zeros(mb, dtype=jnp.int32)
+
+    def cond(st):
+        x, r, p, v, rho, alpha, omega, ks, k = st
+        return jnp.any(norms(r) > tol) & (k < max_it)
+
+    def body(st):
+        x, r, p, v, rho, alpha, omega, ks, k = st
+        live = norms(r) > tol
+        ks = ks + live.astype(jnp.int32)
+        rho_new = dots(rhat, r)
+        # breakdown guard: freeze the system if rho or omega vanish
+        safe = (jnp.abs(rho) > 0) & (jnp.abs(omega) > 0) & live
+        beta = jnp.where(safe, (rho_new / rho) * (alpha / omega), 0.0)
+        p = jnp.where(live[:, None],
+                      r + beta[:, None] * (p - omega[:, None] * v), p)
+        v = Aop(p)
+        denom = dots(rhat, v)
+        alpha_n = jnp.where(jnp.abs(denom) > 0, rho_new / denom, 0.0)
+        alpha_n = jnp.where(live, alpha_n, 0.0)
+        s = r - alpha_n[:, None] * v
+        t = Aop(s)
+        tt = dots(t, t)
+        omega_n = jnp.where(tt > 0, dots(t, s) / tt, 0.0)
+        omega_n = jnp.where(live, omega_n, omega)
+        x = x + alpha_n[:, None] * p + jnp.where(live, omega_n, 0.0)[:, None] * s
+        r = jnp.where(live[:, None], s - omega_n[:, None] * t, r)
+        rho = jnp.where(live, rho_new, rho)
+        return (x, r, p, v, rho, alpha_n + (~live) * alpha, omega_n, ks, k + 1)
+
+    x, r, p, v, rho, alpha, omega, ks, k = jax.lax.while_loop(
+        cond, body,
+        (x, r, p, v, rho, alpha, omega, ks, jnp.int32(0)))
+    rn = norms(r)
+    return KrylovResult(x=x.reshape(shape), iters=ks, resnorm=rn,
+                        converged=rn <= tol)

@@ -125,6 +125,14 @@ def moment_vectors(coords, comp, order: int = 2, dtype=None):
         if order >= 2:
             base += [loc[:, :, a] * loc[:, :, b]
                      for a in range(d) for b in range(a, d)]
+        if order >= 3:
+            base += [loc[:, :, a] * loc[:, :, b] * loc[:, :, c]
+                     for a in range(d) for b in range(a, d)
+                     for c in range(b, d)]
+        if order >= 4:
+            base += [loc[:, :, a] * loc[:, :, b] * loc[:, :, c] * loc[:, :, e]
+                     for a in range(d) for b in range(a, d)
+                     for c in range(b, d) for e in range(c, d)]
         for f in base:
             rows.append(np.where(m[:, None], f, 0.0).T)    # (nd, nc)
     W = np.stack(rows) if rows else np.zeros((0, nd, nc))

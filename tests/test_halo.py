@@ -51,8 +51,8 @@ def test_halo_matvec_matches_dense(nc):
     mesh = Mesh(np.array(jax.devices()[:8]), ("cells",))
     bp = _shard(mesh, np.pad(blocks, ((0, 0),) * 3 + ((0, npad),)))
     xp = _shard(mesh, np.pad(x, ((0, 0), (0, npad))))
-    mv = halo_spmv_fn(halo, mesh)
-    y = jax.jit(mv)(bp, xp)
+    arrays, mv = halo_spmv_fn(halo, mesh)
+    y = jax.jit(mv)(arrays, bp, xp)
     np.testing.assert_allclose(np.asarray(y[:, :nc]), np.asarray(y_ref),
                                rtol=1e-6, atol=1e-6)
     # padding (if any) is inert
@@ -76,7 +76,8 @@ def test_halo_matvec_batched():
     mesh = Mesh(np.array(jax.devices()[:8]), ("cells",))
     bp = _shard(mesh, np.pad(blocks, ((0, 0),) * 4 + ((0, npad),)))
     xp = _shard(mesh, np.pad(x, ((0, 0), (0, 0), (0, npad))))
-    y = jax.jit(halo_spmv_fn(halo, mesh))(bp, xp)
+    arrays, mv = halo_spmv_fn(halo, mesh)
+    y = jax.jit(mv)(arrays, bp, xp)
     np.testing.assert_allclose(np.asarray(y[:, :, :nc]), np.asarray(y_ref),
                                rtol=1e-6, atol=1e-6)
 
@@ -137,6 +138,7 @@ def test_halo_matvec_degree2_geometry():
     mesh = Mesh(np.array(jax.devices()[:8]), ("cells",))
     bp = _shard(mesh, np.pad(blocks, ((0, 0),) * 3 + ((0, npad),)))
     xp = _shard(mesh, np.pad(x, ((0, 0), (0, npad))))
-    y = jax.jit(halo_spmv_fn(halo, mesh))(bp, xp)
+    arrays, mv = halo_spmv_fn(halo, mesh)
+    y = jax.jit(mv)(arrays, bp, xp)
     np.testing.assert_allclose(np.asarray(y[:, :nc]), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)

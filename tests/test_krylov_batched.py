@@ -78,3 +78,30 @@ def test_gmres_batched_uneven_convergence():
                                                       res.x[s]))
                    / jnp.linalg.norm(b[s]))
         assert rr < 1e-6
+
+
+def test_bicgstab_batched_matches_gmres():
+    """bicgstab_batched solves the same batched nonsymmetric systems as
+    gmres_batched to the same preconditioned tolerance."""
+    from knpemidg_tpu.solvers.krylov import bicgstab_batched, gmres_batched
+
+    rng = np.random.default_rng(11)
+    m, n = 3, 80
+    A = np.stack([np.eye(n) * (2.0 + i) + 0.3 * rng.normal(size=(n, n)) / np.sqrt(n)
+                  for i in range(m)])
+    b = rng.normal(size=(m, n))
+    mv = lambda V: jnp.einsum("sij,sj->si", jnp.asarray(A), V)
+    D = jnp.asarray(1.0 / np.einsum("sii->si", A))
+    pc = lambda r: D * r
+    x0 = jnp.zeros((m, n))
+    r1 = gmres_batched(mv, jnp.asarray(b), x0, pc, rtol=1e-10, atol=0.0,
+                       max_it=500, restart=30)
+    r2 = bicgstab_batched(mv, jnp.asarray(b), x0, pc, rtol=1e-10, atol=0.0,
+                          max_it=500)
+    assert bool(np.all(np.asarray(r1.converged)))
+    assert bool(np.all(np.asarray(r2.converged)))
+    assert np.allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-7)
+    # direct check
+    x2 = np.asarray(r2.x)
+    for s in range(m):
+        assert np.linalg.norm(A[s] @ x2[s] - b[s]) < 1e-7 * np.linalg.norm(b[s])

@@ -74,3 +74,48 @@ def test_h5_roundtrip_and_series(tmp_path):
     assert any(f.startswith("emi_niter") for f in stats_files)
     assert any(f.startswith("knp_solve") for f in stats_files)
     res.close()
+
+
+@pytest.mark.slow
+def test_figure_scripts_reference_outputs(tmp_path):
+    """Figure parity (VERDICT r2 item 7): every make_figures_* script runs
+    headless against a saved small run and produces its reference-named
+    outputs (pot_con_2D.svg / pot_con_3D.svg + txt series /
+    pot_con_rat_3D.svg + surface_time.svg + membrane.pvd / plot.svg)."""
+    from run_2D import build_solver
+
+    S = build_solver(resolution=0)
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-5, atol_emi=1e-40,
+                      rtol_knp=1e-7, atol_knp=1e-40)
+    fname = str(tmp_path / "run") + "/"
+    os.makedirs(fname, exist_ok=True)
+    S.solve_system_active(4 * S.params.dt, 0.0, sp, filename=fname,
+                          save_fields=True)
+
+    import make_figures_2D
+    out2d = str(tmp_path / "fig2d") + "/"
+    make_figures_2D.main(fname, out2d)
+    assert os.path.exists(out2d + "pot_con_2D.svg")
+    assert os.path.exists(out2d + "summary.svg")
+
+    import make_figures_3D
+    out3d = str(tmp_path / "fig3d") + "/"
+    make_figures_3D.main(fname, out3d)
+    assert os.path.exists(out3d + "pot_con_3D.svg")
+    assert os.path.exists(fname + "solver/phi_M_3D.txt")
+    assert len(open(fname + "solver/phi_M_3D.txt").readlines()) == 5
+
+    import make_figures_rat_neuron
+    outrn = str(tmp_path / "figrn") + "/"
+    make_figures_rat_neuron.main(fname, outrn)
+    assert os.path.exists(outrn + "pot_con_rat_3D.svg")
+    assert os.path.exists(outrn + "surface_time.svg")
+    assert os.path.exists(outrn + "membrane.pvd")
+
+    import make_figures_astro
+    outas = str(tmp_path / "figas") + "/"
+    make_figures_astro.main(fname, outas, roi_center=(31e-6, 2e-6))
+    assert os.path.exists(outas + "plot.svg")
+    assert os.path.exists(outas + "surface_time.svg")
+    assert os.path.exists(outas + "membrane.pvd")

@@ -61,3 +61,96 @@ def test_shard_solver_consistency():
         np.asarray(out_ref["phi_M"]), np.asarray(out_sh["phi_M"]),
         rtol=1e-4, atol=1e-7,
     )
+
+
+@pytest.mark.slow
+def test_sharded_driver_multistep_refresh_h5(tmp_path):
+    """5-step sharded run THROUGH the production driver
+    (solve_system_active), including a frozen-preconditioner refresh and
+    H5 field output under sharding -- VERDICT r2 item 3b.  Must match the
+    unsharded driver run at solver tolerance."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from knpemidg_tpu.config import SolverParams
+    from knpemidg_tpu.parallel.sharding import device_mesh, shard_solver, unpad_state
+    from knpemidg_tpu.io.checkpoint import H5Reader
+
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-8, rtol_knp=1e-8,
+                      max_it_emi=500, max_it_knp=100, gmres_restart=10,
+                      pc_refresh_every=2)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from run_2D import build_solver
+
+    n_steps = 5
+    S_ref = build_solver(resolution=0)
+    out_ref = S_ref.solve_system_active(n_steps * S_ref.params.dt, 0.0, sp)
+
+    S_sh = build_solver(resolution=0)
+    shard_solver(S_sh, device_mesh(4))
+    fname = str(tmp_path) + "/"
+    out_sh = S_sh.solve_system_active(n_steps * S_sh.params.dt, 0.0, sp,
+                                      filename=fname, save_fields=True)
+    out_sh = unpad_state(S_sh, out_sh)
+
+    np.testing.assert_allclose(
+        np.asarray(out_ref["c"]), np.asarray(out_sh["c"]), rtol=5e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ref["phi_M"]), np.asarray(out_sh["phi_M"]),
+        rtol=1e-4, atol=1e-7,
+    )
+    # iteration counts recorded for every step; H5 has initial + 5 frames
+    assert len(S_sh.stats.emi_niters) == n_steps
+    r = H5Reader(fname + "results.h5")
+    assert r.n_frames == n_steps + 1
+    # stored fields are unpadded, original numbering
+    c_last = r.concentrations(n_steps)
+    assert c_last.shape[1] == S_ref.n_cells
+    np.testing.assert_allclose(
+        c_last, np.asarray(out_sh["c"]).transpose(0, 2, 1), rtol=1e-6)
+
+
+@pytest.mark.nightly
+def test_sharded_emix_mesh_one_step():
+    """The REAL 121,617-tet EMIx mesh sharded 8-way on virtual devices:
+    one full active step vs the single-device result (VERDICT r2 item 3a,
+    promoted from tools/scaling_study.py)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from knpemidg_tpu.config import SolverParams
+    from knpemidg_tpu.parallel.sharding import (device_mesh, shard_solver,
+                                                unpad_state)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from run_EMIx_simulation import build_solver, DEFAULT_MESH
+    from knpemidg_tpu.mesh.io import load_emix_mesh
+
+    if not os.path.exists(DEFAULT_MESH):
+        pytest.skip("EMIx mesh asset not present")
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-6, atol_emi=1e-40,
+                      rtol_knp=1e-8, atol_knp=2e-40,
+                      max_it_emi=1000, max_it_knp=1000, gmres_restart=30,
+                      agg_size=64)
+
+    S_ref = build_solver(mesh=load_emix_mesh(DEFAULT_MESH))
+    state_ref = S_ref.attach_pc(S_ref._initial_state(0.0), sp)
+    out_ref, st_ref = S_ref.fused_step(sp)(state_ref)
+
+    S_sh = build_solver(mesh=load_emix_mesh(DEFAULT_MESH))
+    shard_solver(S_sh, device_mesh(8))
+    state_sh = S_sh.attach_pc(S_sh._maybe_shard(S_sh._initial_state(0.0)), sp)
+    out_sh, st_sh = S_sh.fused_step(sp)(state_sh)
+    out_sh = unpad_state(S_sh, out_sh)
+
+    assert bool(np.all(np.asarray(st_sh["emi_converged"])))
+    assert bool(np.all(np.asarray(st_sh["knp_converged"])))
+    np.testing.assert_allclose(
+        np.asarray(out_ref["c"]), np.asarray(out_sh["c"]),
+        rtol=1e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ref["phi_M"]), np.asarray(out_sh["phi_M"]),
+        rtol=1e-3, atol=2e-6,
+    )

@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""Multi-host dryrun worker: one of N processes in a jax.distributed
+CPU cluster (launched by __graft_entry__.dryrun_multihost or
+tests/test_multihost.py).
+
+Each process: joins the cluster, builds the SAME small active 2D solver,
+shards it over the process-spanning global mesh (parallel/sharding +
+parallel/halo -- the halo all_gather crosses the process boundary via the
+Gloo backend, the CPU stand-in for DCN), runs two fused splitting steps,
+and compares the allgathered result against a single-device reference
+computed locally.  Process 0 prints the verdict; nonzero exit on any
+mismatch.
+
+Usage:
+  multihost_worker.py ref <npz_path>                  -- single-device
+      reference run (NO distributed runtime), saved to npz
+  multihost_worker.py <process_id> <num_processes> <port> <npz_path>
+(env must set JAX_PLATFORMS=cpu and
+ XLA_FLAGS=--xla_force_host_platform_device_count=<devices_per_process>)
+
+The reference runs in its own precursor process: computing it inside the
+workers made their first collective (a device_put equality check) wait on
+whichever process compiled slower and trip the coordination-service
+deadline.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def build_solver():
+    import numpy as np
+    from knpemidg_tpu.config import Ion, PhysicalParams, StimParams
+    from knpemidg_tpu.mesh.core import build_mesh
+    from knpemidg_tpu.mesh.generators import rectangle_mesh
+    from knpemidg_tpu.models.hh import HodgkinHuxleySI
+    from knpemidg_tpu.solver import StandardSolver
+
+    params = PhysicalParams(
+        dt=1.0e-4, n_steps_ODE=5, C_M=0.02, temperature=300.0,
+        F=96485.0, R=8.314,
+        phi_M_init=-0.07438609374462003, phi_M_init_type="constant",
+        rho_sub={0: 0.0, 1: 0.0},
+    )
+    Na_i, Na_e = 12.838513108648856, 100.71925900027354
+    K_i, K_e = 124.15397583491901, 3.3236967382705265
+    ion_list = [
+        Ion(name="K", z=1.0, D_sub={0: 1.96e-9, 1: 1.96e-9},
+            c_init_sub={0: K_e, 1: K_i}),
+        Ion(name="Cl", z=-1.0, D_sub={0: 2.03e-9, 1: 2.03e-9},
+            c_init_sub={0: Na_e + K_e, 1: Na_i + K_i}),
+        Ion(name="Na", z=1.0, D_sub={0: 1.33e-9, 1: 1.33e-9},
+            c_init_sub={0: Na_e, 1: Na_i}),
+    ]
+    stim = StimParams(stimulus={"stim_amplitude": 10.0},
+                      stimulus_locator=lambda x: x[0] < 20e-6)
+    # NOT divisible by common device counts: exercises inert cell padding
+    nx, ny = 31, 9
+    verts, cells = rectangle_mesh((0, 0), (62, 4), nx, ny)
+    mids = verts[cells].mean(axis=1)
+    inside = ((mids[:, 0] >= 10) & (mids[:, 0] <= 52)
+              & (mids[:, 1] >= 1) & (mids[:, 1] <= 3))
+    mesh2d = build_mesh(
+        verts, cells, inside.astype(np.int32),
+        membrane_tag_from_cells=lambda m, lo, hi: np.ones(len(m), np.int32),
+    )
+    mesh2d.vertices *= 1e-6
+    S = StandardSolver(params, ion_list)
+    S.setup_domain(mesh2d)
+    S.setup_parameters()
+    S.setup_FEM_spaces()
+    S.setup_membrane_model(stim, {1: HodgkinHuxleySI(stimulus=True)})
+    return S
+
+
+def _solver_params():
+    from knpemidg_tpu.config import SolverParams
+
+    return SolverParams(direct_emi=False, direct_knp=False,
+                        rtol_emi=1e-6, rtol_knp=1e-9,
+                        max_it_emi=500, max_it_knp=60, gmres_restart=10)
+
+
+N_STEPS = 2
+
+
+def run_reference(npz_path):
+    """Single-device reference (plain jit, no distributed runtime)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)   # match tests/conftest.py
+    import numpy as np
+
+    sp = _solver_params()
+    S_ref = build_solver()
+    ref_state = S_ref.attach_pc(S_ref._initial_state(0.0), sp)
+    step_ref = S_ref.fused_step(sp)
+    for _ in range(N_STEPS):
+        ref_state, _ = step_ref(ref_state)
+    np.savez(npz_path, c=np.asarray(ref_state["c"]),
+             phi_M=np.asarray(ref_state["phi_M"]))
+    print(f"reference written to {npz_path}", flush=True)
+
+
+def main():
+    pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    npz_path = sys.argv[4]
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)   # match tests/conftest.py
+    jax.distributed.initialize(f"localhost:{port}", num_processes=nprocs,
+                               process_id=pid)
+    import numpy as np
+    from knpemidg_tpu.parallel import multihost
+    from knpemidg_tpu.parallel.sharding import shard_solver, unpad_state
+
+    n_global = len(jax.devices())
+    n_local = len(jax.local_devices())
+    sp = _solver_params()
+    ref = np.load(npz_path)
+    ref_c, ref_phiM = ref["c"], ref["phi_M"]
+
+    # sharded over the process-spanning global mesh
+    S = build_solver()
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == n_global
+    shard_state = shard_solver(S, mesh)
+    state = S.attach_pc(shard_state(S._initial_state(0.0)), sp)
+    step = S.fused_step(sp)
+    stats = None
+    for _ in range(N_STEPS):
+        state, stats = step(state)
+    got = multihost.allgather(
+        {"c": state["c"], "phi_M": state["phi_M"]})
+    up = unpad_state(S, {"c": got["c"]})
+    c = np.asarray(up["c"])
+    phi_M = np.asarray(got["phi_M"])
+    # process_allgather of a replicated array may stack per-process copies
+    if phi_M.ndim == ref_phiM.ndim + 1:
+        phi_M = phi_M[0]
+    if c.ndim == ref_c.ndim + 1:
+        c = c[0]
+
+    dc = np.abs(c - ref_c).max() / np.abs(ref_c).max()
+    dm = np.abs(phi_M - ref_phiM).max()
+    ok = bool(np.isfinite(c).all() and dc < 5e-5 and dm < 1e-5)
+    # (f64 runs: observed dc ~1e-9, dm ~1e-8; the gates leave headroom
+    # for reduction-order differences across shardings)
+    if pid == 0:
+        print(f"multihost worker0: procs={nprocs} local_devs={n_local} "
+              f"global_devs={n_global} emi_iters={int(stats['emi_iters'])} "
+              f"rel_dc={dc:.2e} dphi_M={dm:.2e} ok={ok}", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "ref":
+        run_reference(sys.argv[2])
+    else:
+        main()
