@@ -554,7 +554,14 @@ class Solver:
         over the ion axis (jittable)."""
         call = self._all_c(c, c_elim)
         alpha_sum = jnp.einsum("k,kc,kic->ic", self.z**2, self.D, call)
-        statics = jnp.stack([self._knp_static(k) for k in range(self.N_ions)])
+        # the ion-stacked static operator is cached by attach_pc: restacking
+        # (m, K, nd, nd, nc) inside the jitted step costs a ~150 MB copy
+        # per step that XLA does not reliably hoist out of scan blocks
+        cache = getattr(self, "_knp_static_blocks", {})
+        statics = cache.get(-1)
+        if statics is None:
+            statics = jnp.stack([self._knp_static(k)
+                                 for k in range(self.N_ions)])
 
         # f_source contributions (per-ion callables) outside the vmap
         g = self._g_knp()
@@ -1082,6 +1089,13 @@ class Solver:
         if self.mms is None and not getattr(self, "_emi_only", False):
             for k in range(self.N_ions):
                 self._knp_static(k)
+            cache = self._knp_static_blocks
+            if -1 not in cache and all(
+                    k in cache for k in range(self.N_ions)):
+                # key -1: the ion-STACKED static operator (int key keeps the
+                # pytree dict sortable)
+                cache[-1] = jnp.stack(
+                    [cache[k] for k in range(self.N_ions)])
         if "pc" in state:
             return state
         pc = self._build_pc(state, sp_)

@@ -105,7 +105,7 @@ def test_sharded_driver_multistep_refresh_h5(tmp_path):
     r = H5Reader(fname + "results.h5")
     assert r.n_frames == n_steps + 1
     # stored fields are unpadded, original numbering
-    c_last = r.concentrations(n_steps)
+    c_last = r.frame(n_steps)["c"]
     assert c_last.shape[1] == S_ref.n_cells
     np.testing.assert_allclose(
         c_last, np.asarray(out_sh["c"]).transpose(0, 2, 1), rtol=1e-6)

@@ -45,12 +45,22 @@ def main(which=("base", "maxit1", "restart16", "restart20")):
         "restart16": dict(gmres_restart=16),
         "restart20": dict(gmres_restart=20),
         "bicgstab": dict(knp_solver="bicgstab"),
+        # restart=1 + max_it 1: ONE Arnoldi step and one CG iter -- the
+        # true per-step fixed cost (ODE + assemblies + solve setup +
+        # finalize)
+        "maxit1b": dict(max_it_emi=1, max_it_knp=1, gmres_restart=1),
+        "knp_freshpc": {},
     }
     for name in which:
         S = build_solver(mesh=mesh)
-        sp = SolverParams(**{**base, **variants[name]})
+        sp = SolverParams(**{**base, **variants.get(name, {})})
         t0 = time.perf_counter()
         state = S.attach_pc(S._initial_state(0.0), sp)
+        if name == "knp_freshpc":
+            # drop the frozen KNP coarse data: _knp_solve_all then rebuilds
+            # the two-level data INSIDE the jitted step from the current
+            # blocks (the pcK=None path) -- no drift, extra per-step build
+            state = dict(state, pc={"emi": state["pc"]["emi"]})
         warm = S._jit(("expw", N_WARM, sp), S.fused_block(sp, N_WARM))
         state, _ = warm(state)
         sync(state["c"])
