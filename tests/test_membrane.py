@@ -101,7 +101,9 @@ def test_glial_kir_steady():
         mm = ode_step(mm, t, 0.1, n_sub=25)   # ms units
         t += 0.1
     V1 = float(mm.states[0, 0])
-    assert abs(V1 - V0) < 5.0, (V0, V1)  # mV drift over 5 ms
+    # measured drift 0.016 mV; 0.3 mV leaves ~20x headroom while catching
+    # a mis-scaled pump or Kir term (VERDICT r2 weak #6)
+    assert abs(V1 - V0) < 0.3, (V0, V1)
 
 
 def test_rush_larsen_matches_lsoda_large_dt():
