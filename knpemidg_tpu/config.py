@@ -106,6 +106,7 @@ class SolverParams:
     precond_knp: str = ""
     agg_size: int = 64                      # cells per coarse aggregate
     knp_solver: str = "gmres"               # 'gmres' | 'bicgstab' (batched)
+    gmres_orth: str = "cgs2"                # 'cgs2' | 'cgs1' (KNP batched)
     # EMI deflation enrichment: per-compartment polynomial moments of this
     # order join the exact compartment-constant deflation (0 = off).  The
     # membrane surface harmonics they capture dominate the CG count during

@@ -655,7 +655,7 @@ class Solver:
                 mv, r0, jnp.zeros_like(r0), pcf,
                 rtol=sp_.rtol_knp, atol=sp_.atol_knp,
                 max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
-                b_ref=rhsK,
+                b_ref=rhsK, orth=getattr(sp_, "gmres_orth", "cgs2"),
             )
         return c + res.x, res.iters, res.converged
 

@@ -262,6 +262,7 @@ def gmres_batched(
     max_it: int,
     restart: int = 20,
     b_ref: Optional[jnp.ndarray] = None,
+    orth: str = "cgs2",
 ) -> KrylovResult:
     """m independent GMRES solves sharing one Krylov loop.
 
@@ -325,11 +326,20 @@ def gmres_batched(
             ks = ks + live.astype(jnp.int32)
             vj = jax.lax.dynamic_index_in_dim(V, j, axis=1, keepdims=False)
             w = Aop(vj)
-            # CGS2 over the whole basis, batched skinny GEMMs (MXU)
+            # classical Gram-Schmidt over the whole basis, batched skinny
+            # GEMMs (MXU).  'cgs2' reorthogonalizes (4 basis passes);
+            # 'cgs1' does one pass (2 basis reads) -- the basis reads
+            # DOMINATE the per-iteration cost on the EMIx mesh (~480 vs
+            # ~240 MB at restart 30), and with a good preconditioner and
+            # O(10-40) iteration counts single CGS stays stable (the
+            # once-per-cycle true-residual restart bounds any drift)
             h1 = jnp.einsum("skn,sn->sk", V, w)
             w = w - jnp.einsum("sk,skn->sn", h1, V)
-            h2 = jnp.einsum("skn,sn->sk", V, w)
-            w = w - jnp.einsum("sk,skn->sn", h2, V)
+            if orth == "cgs2":
+                h2 = jnp.einsum("skn,sn->sk", V, w)
+                w = w - jnp.einsum("sk,skn->sn", h2, V)
+            else:
+                h2 = jnp.zeros_like(h1)
             hj1 = norms(w)
             vnext = jnp.where((hj1 > 1e-300)[:, None],
                               w / jnp.where(hj1 > 0, hj1, 1.0)[:, None], 0.0)

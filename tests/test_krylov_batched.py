@@ -80,6 +80,29 @@ def test_gmres_batched_uneven_convergence():
         assert rr < 1e-6
 
 
+def test_gmres_batched_cgs1_matches_cgs2():
+    """Single-pass classical Gram-Schmidt (the halved-basis-traffic
+    production option) converges to the same solution as CGS2."""
+    from knpemidg_tpu.solvers.krylov import gmres_batched
+
+    rng = np.random.default_rng(5)
+    m, n = 2, 120
+    A = np.stack([np.eye(n) * 3.0 + rng.normal(size=(n, n)) / np.sqrt(n)
+                  for _ in range(m)])
+    b = rng.normal(size=(m, n))
+    mv = lambda V: jnp.einsum("sij,sj->si", jnp.asarray(A), V)
+    D = jnp.asarray(1.0 / np.einsum("sii->si", A))
+    pc = lambda r: D * r
+    x0 = jnp.zeros((m, n))
+    r1 = gmres_batched(mv, jnp.asarray(b), x0, pc, rtol=1e-11, atol=0.0,
+                       max_it=600, restart=30, orth="cgs2")
+    r2 = gmres_batched(mv, jnp.asarray(b), x0, pc, rtol=1e-11, atol=0.0,
+                       max_it=600, restart=30, orth="cgs1")
+    assert bool(np.all(np.asarray(r1.converged)))
+    assert bool(np.all(np.asarray(r2.converged)))
+    assert np.allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-8)
+
+
 def test_bicgstab_batched_matches_gmres():
     """bicgstab_batched solves the same batched nonsymmetric systems as
     gmres_batched to the same preconditioned tolerance."""

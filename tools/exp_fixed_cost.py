@@ -50,6 +50,7 @@ def main(which=("base", "maxit1", "restart16", "restart20")):
         # finalize)
         "maxit1b": dict(max_it_emi=1, max_it_knp=1, gmres_restart=1),
         "knp_freshpc": {},
+        "cgs1": dict(gmres_orth="cgs1"),
     }
     for name in which:
         S = build_solver(mesh=mesh)
