@@ -627,11 +627,6 @@ class Solver:
         g = self.g
         mv = lambda V: self._matvec(blocksK, V)
         kind = sp_.precond_knp or sp_.precond
-        if kind == "two_level_mult":
-            raise NotImplementedError(
-                "precond_knp='two_level_mult' is not supported by the "
-                "batched multi-ion KNP solve (use 'two_level'; the "
-                "multiplicative cycle is available for the EMI solve)")
         if kind.startswith("two_level"):
             data = pcK if pcK is not None else jax.vmap(
                 lambda b: build_two_level(
@@ -639,7 +634,9 @@ class Solver:
                     mass_diag=g["vol"] / self.params.dt,
                 )
             )(blocksK)
-            pcf = two_level_apply_batched(data, blocksK[:, 0], sp_.agg_size)
+            pcf = two_level_apply_batched(
+                data, blocksK[:, 0], sp_.agg_size,
+                matvec=mv if kind == "two_level_mult" else None)
         else:
             Pinv = jax.vmap(block_jacobi_inverse)(blocksK[:, 0])
             pcf = lambda r: jnp.einsum("mijc,mjc->mic", Pinv, r)

@@ -319,20 +319,51 @@ def two_level_apply_fn(data, P_diag, agg_size: int,
     return apply
 
 
-def two_level_apply_batched(data, P_diag, agg_size: int) -> Callable:
-    """Batched (additive) two-level apply: `data` leaves and `P_diag` carry
-    a leading system axis m; the returned apply maps (m, nd, nc) ->
-    (m, nd, nc).  The block-Jacobi inverses are hoisted out of the per-
-    iteration closure so Krylov loops don't re-invert every apply.  Pairs
-    with krylov.gmres_batched / ops.spmv.bell_matvec_multi for the
-    multi-ion KNP solve."""
+def two_level_apply_batched(data, P_diag, agg_size: int,
+                            matvec: Callable | None = None,
+                            omega: float = 2.0 / 3.0) -> Callable:
+    """Batched two-level apply: `data` leaves and `P_diag` carry a leading
+    system axis m; the returned apply maps (m, nd, nc) -> (m, nd, nc).
+    The block-Jacobi inverses are hoisted out of the per-iteration closure
+    so Krylov loops don't re-invert every apply.  Pairs with
+    krylov.gmres_batched / ops.spmv.bell_matvec_multi for the multi-ion
+    KNP solve.
+
+    Additive (BJ + coarse) by default; with ``matvec`` (the BATCHED
+    operator apply sharing one gather across systems) the corrections wrap
+    into a symmetric V-cycle (BJ, coarse, BJ) at the price of two extra
+    batched matvecs per apply."""
     Pinv = jax.vmap(block_jacobi_inverse)(P_diag)
 
+    def bj(r):
+        return jnp.einsum("mijc,mjc->mic", Pinv, r)
+
+    def coarse_only(r):
+        def one(d, rs):
+            nd, nc = rs.shape
+            inv, s = d["inv"], d["s"]
+            n_agg = inv.shape[0]
+            pad = n_agg * agg_size - nc
+            rsum = rs.sum(axis=0)
+            rc = s * jnp.pad(rsum, (0, pad)).reshape(n_agg, agg_size).sum(axis=1)
+            z = inv @ rc
+            if "As" in d:
+                z = z + inv @ (rc - d["As"] @ z)
+            z = s * z
+            zf = jnp.broadcast_to(z[:, None], (n_agg, agg_size)).reshape(-1)[:nc]
+            return jnp.broadcast_to(zf[None, :], (nd, nc))
+
+        return jax.vmap(one)(data, r)
+
+    if matvec is None:
+        def apply(r):
+            return bj(r) + coarse_only(r)
+        return apply
+
     def apply(r):
-        return jax.vmap(
-            lambda d, Pd_s, Pi, rs: two_level_apply_fn(
-                d, Pd_s, agg_size, Pinv=Pi)(rs)
-        )(data, P_diag, Pinv, r)
+        z = omega * bj(r)
+        z = z + coarse_only(r - matvec(z))
+        return z + omega * bj(r - matvec(z))
 
     return apply
 

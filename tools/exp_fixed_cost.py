@@ -51,6 +51,8 @@ def main(which=("base", "maxit1", "restart16", "restart20")):
         "maxit1b": dict(max_it_emi=1, max_it_knp=1, gmres_restart=1),
         "knp_freshpc": {},
         "cgs1": dict(gmres_orth="cgs1"),
+        "knp_mult": dict(precond_knp="two_level_mult"),
+        "emi_mult": dict(precond="two_level_mult", precond_knp="two_level"),
     }
     for name in which:
         S = build_solver(mesh=mesh)
