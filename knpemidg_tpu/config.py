@@ -112,6 +112,10 @@ class SolverParams:
     # membrane surface harmonics they capture dominate the CG count during
     # AP upstrokes (200 -> 12 iters on the EMIx mesh at order 2)
     emi_moment_order: int = 2
+    # EMI Ritz deflation: harvest this many approximate small-eigenvalue
+    # modes of the preconditioned operator at pc build (f64 Galerkin;
+    # 0 = off).  Experimental -- see ROADMAP.md round-3 notes
+    emi_ritz: int = 0
     # rebuild the frozen preconditioner every N steps (0 = freeze at t0).
     # The coarse/deflation Galerkin data drifts with the concentrations;
     # refresh bounds that drift on long runs (hundreds of steps).  NOTE the

@@ -38,10 +38,10 @@ from .ops.spmv import (bell_matvec, bell_matvec_fan,
                        block_jacobi_inverse)
 from .solvers.krylov import bicgstab_batched, gmres, gmres_batched, pcg
 from .solvers import direct as direct_solvers
-from .solvers.twolevel import (build_moment_deflation, build_two_level,
-                               compartment_ids, make_two_level,
-                               moment_vectors, two_level_apply_batched,
-                               two_level_apply_fn)
+from .solvers.twolevel import (build_moment_deflation, build_ritz_deflation,
+                               build_two_level, compartment_ids,
+                               make_two_level, moment_vectors,
+                               two_level_apply_batched, two_level_apply_fn)
 from .membrane.engine import make_membrane, ode_step, set_param, get_param
 from .utils.stats import SolverStats, bcolors
 
@@ -1023,6 +1023,29 @@ class Solver:
             if sp_.emi_moment_order > 0:
                 pc["emi"] = dict(pc["emi"],
                                  **self._emi_moment_data(blocks, sp_))
+            if getattr(sp_, "emi_ritz", 0) > 0:
+                asm = self._jit(("asm_emi", self.splitting_scheme),
+                                self._assemble_emi)
+                _, rhs, _ = asm(state["c"], state["c_elim"], phi_M_pad,
+                                I_ch_tot_pad, state["t"])
+                harvest = self._jit(
+                    ("pc_ritz", sp_.agg_size, sp_.emi_ritz),
+                    lambda b, Pd_, data, r: build_ritz_deflation(
+                        b, self.g["nbr"],
+                        two_level_apply_fn(data, Pd_, sp_.agg_size),
+                        r, n_ritz=sp_.emi_ritz),
+                )
+                ritz = harvest(blocks, Pd, pc["emi"], rhs)
+                # the harvest is numerically fragile (near-parallel Ritz
+                # vectors make the Galerkin ill-conditioned); a NaN here
+                # would silently zero every later solve's tolerance test,
+                # so drop the enrichment unless it is finite
+                if all(bool(np.isfinite(np.asarray(v)).all())
+                       for v in ritz.values()):
+                    pc["emi"] = dict(pc["emi"], **ritz)
+                else:                                  # pragma: no cover
+                    print(f"{bcolors.WARNING} emi_ritz harvest non-finite; "
+                          f"disabled for this pc build {bcolors.ENDC}")
         kind_knp = sp_.precond_knp or sp_.precond
         if (not sp_.direct_knp and kind_knp.startswith("two_level")
                 and not getattr(self, "_emi_only", False)):

@@ -158,6 +158,81 @@ def build_moment_deflation(matvec, W, ridge: float = 1e-6, fan=None):
     return {"mom_W": W, "mom_inv": inv, "mom_s": sm}
 
 
+def build_ritz_deflation(blocks, nbr, precond, b, k: int = 40,
+                         n_ritz: int = 8, ridge: float = 1e-8):
+    """Harvest approximate small-eigenvalue modes of the PRECONDITIONED EMI
+    operator by k steps of preconditioned Lanczos from rhs ``b``, keep the
+    ``n_ritz`` smallest Ritz vectors, and build their deflation Galerkin
+    in FLOAT64 (round 2 measured that the f32 Galerkin of these
+    small-A-energy modes is noise-dominated and HURTS -- the f64 fan
+    matvec below is the fix the round-2 postmortem called for).
+
+    Runs once per pc build/refresh (off the hot path).  Returns fields to
+    merge into the two-level data dict ('ritz_W', 'ritz_inv', 'ritz_s'),
+    applied like the moment correction in two_level_apply_fn."""
+    from ..ops.spmv import bell_matvec, bell_matvec_fan
+
+    shape = b.shape
+    mv = lambda v: bell_matvec(blocks, nbr, v)
+
+    def dot(a, c):
+        return jnp.einsum("ic,ic->", a, c)
+
+    # preconditioned Lanczos: r-basis Qr, z-basis Qz, T tridiagonal
+    r = b - jnp.mean(b)
+    z = precond(r)
+    beta0 = jnp.sqrt(jnp.maximum(dot(r, z), 1e-30))
+    Qr = jnp.zeros((k, *shape), dtype=b.dtype).at[0].set(r / beta0)
+    Qz = jnp.zeros((k, *shape), dtype=b.dtype).at[0].set(z / beta0)
+    alphas = jnp.zeros(k, dtype=b.dtype)
+    betas = jnp.zeros(k, dtype=b.dtype)
+
+    def body(j, st):
+        Qr, Qz, alphas, betas = st
+        qz = Qz[j]
+        w = mv(qz)
+        w = w - jnp.where(j > 0, 1.0, 0.0) * betas[j - 1] * Qr[j - 1]
+        a = dot(qz, w)
+        w = w - a * Qr[j]
+        # full reorthogonalization in the M-inner product (k is small)
+        coef = jnp.einsum("kic,ic->k", Qz, w)
+        w = w - jnp.einsum("k,kic->ic", coef, Qr)
+        z = precond(w)
+        bnew = jnp.sqrt(jnp.maximum(dot(w, z), 1e-30))
+        Qr = Qr.at[j + 1].set(jnp.where(j + 1 < k, 1.0, 0.0) * w / bnew)
+        Qz = Qz.at[j + 1].set(jnp.where(j + 1 < k, 1.0, 0.0) * z / bnew)
+        alphas = alphas.at[j].set(a)
+        betas = betas.at[j].set(bnew)
+        return (Qr, Qz, alphas, betas)
+
+    Qr, Qz, alphas, betas = jax.lax.fori_loop(0, k - 1, body,
+                                              (Qr, Qz, alphas, betas))
+    # last alpha
+    a_last = dot(Qz[k - 1], mv(Qz[k - 1]))
+    alphas = alphas.at[k - 1].set(a_last)
+    T = (jnp.diag(alphas) + jnp.diag(betas[: k - 1], 1)
+         + jnp.diag(betas[: k - 1], -1))
+    theta, Y = jnp.linalg.eigh(T.astype(jnp.float64))
+    idx = jnp.argsort(theta)[:n_ritz]
+    W = jnp.einsum("kv,kic->vic", Y[:, idx].astype(b.dtype), Qz)  # (r, nd, nc)
+    # normalize fields
+    W = W / jnp.sqrt(jnp.einsum("vic,vic->v", W, W))[:, None, None]
+
+    # f64 Galerkin of the deflation fields
+    blocks64 = blocks.astype(jnp.float64)
+    W64 = W.astype(jnp.float64)
+    AW = bell_matvec_fan(blocks64, nbr, W64)
+    G = jnp.einsum("vic,wic->vw", W64, AW)
+    G = 0.5 * (G + G.T)
+    dg = jnp.diagonal(G)
+    sg = jax.lax.rsqrt(jnp.maximum(dg, 1e-30 * jnp.max(dg)))
+    Gs = G * sg[:, None] * sg[None, :]
+    Gs = Gs + ridge * jnp.eye(Gs.shape[0], dtype=Gs.dtype)
+    inv = jnp.linalg.inv(Gs)
+    return {"ritz_W": W, "ritz_inv": inv.astype(b.dtype),
+            "ritz_s": sg.astype(b.dtype)}
+
+
 def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
                     comp_onehot=None, comp_ids=None, extra_diag=None,
                     mass_diag=None):
@@ -288,6 +363,9 @@ def two_level_apply_fn(data, P_diag, agg_size: int,
     mom = "mom_W" in data
     if mom:
         Wm, inv_m, s_m = data["mom_W"], data["mom_inv"], data["mom_s"]
+    ritz = "ritz_W" in data
+    if ritz:
+        Wr, inv_r, s_r = data["ritz_W"], data["ritz_inv"], data["ritz_s"]
 
     def coarse(r):
         rs = r.sum(axis=0)                               # (nc,)
@@ -302,6 +380,9 @@ def two_level_apply_fn(data, P_diag, agg_size: int,
         if mom:
             rw = s_m * jnp.einsum("wic,ic->w", Wm, r)
             out = out + jnp.einsum("w,wic->ic", s_m * (inv_m @ rw), Wm)
+        if ritz:
+            rr = s_r * jnp.einsum("vic,ic->v", Wr, r)
+            out = out + jnp.einsum("v,vic->ic", s_r * (inv_r @ rr), Wr)
         return out
 
     if matvec is None:

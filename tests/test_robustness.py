@@ -136,3 +136,30 @@ def test_pc_refresh_path():
     state2 = S2.solve_system_active(4 * S2.params.dt, 0.0, sp, scan_steps=2)
     np.testing.assert_allclose(np.asarray(state["c"]), np.asarray(state2["c"]),
                                rtol=1e-6, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_emi_ritz_option_runs():
+    """Experimental emi_ritz deflation: must produce the same physics (it
+    only changes the preconditioner) and never poison the tolerance
+    tests (finite guard in _build_pc)."""
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                      "examples"))
+    from run_2D import build_solver
+    import numpy as np
+
+    S0 = build_solver(resolution=0)
+    sp0 = SolverParams(direct_emi=False, direct_knp=False,
+                       rtol_emi=1e-8, rtol_knp=1e-8)
+    st0 = S0.solve_system_active(4 * S0.params.dt, 0.0, sp0)
+
+    S1 = build_solver(resolution=0)
+    sp1 = SolverParams(direct_emi=False, direct_knp=False,
+                       rtol_emi=1e-8, rtol_knp=1e-8, emi_ritz=4)
+    st1 = S1.solve_system_active(4 * S1.params.dt, 0.0, sp1)
+    assert all(n > 0 for n in S1.stats.emi_niters)   # not NaN-silenced
+    np.testing.assert_allclose(np.asarray(st0["phi_M"]),
+                               np.asarray(st1["phi_M"]),
+                               rtol=1e-5, atol=1e-8)

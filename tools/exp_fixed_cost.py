@@ -52,6 +52,8 @@ def main(which=("base", "maxit1", "restart16", "restart20")):
         "knp_freshpc": {},
         "cgs1": dict(gmres_orth="cgs1"),
         "knp_mult": dict(precond_knp="two_level_mult"),
+        "ritz8": dict(emi_ritz=8),
+        "ritz16": dict(emi_ritz=16),
         "emi_mult": dict(precond="two_level_mult", precond_knp="two_level"),
     }
     for name in which:
