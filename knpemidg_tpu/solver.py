@@ -105,6 +105,13 @@ class Solver:
         self.mem_models: Dict[int, Any] = {}
         self.splitting_scheme = True
         self._jit_cache: Dict[Any, Any] = {}
+        # serializes the aux-swap tracing trick in _jit: the swap mutates
+        # `self` for the duration of a trace, which is re-entrant on one
+        # thread (nested traces save/restore correctly) but not safe across
+        # threads -- the RLock makes concurrent use correct by exclusion
+        import threading
+
+        self._trace_lock = threading.RLock()
 
     # ------------------------------------------------------------------
     # setup phases
@@ -908,6 +915,7 @@ class Solver:
 
         def wrapped(aux, *args, **kwargs):
             saved = {}
+            self._trace_lock.acquire()
             try:
                 for name, v in aux.items():
                     if name == "statics":
@@ -925,6 +933,7 @@ class Solver:
             finally:
                 for name, v in saved.items():
                     setattr(self, name, v)
+                self._trace_lock.release()
 
         jfn = jax.jit(wrapped)
 

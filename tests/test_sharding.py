@@ -146,9 +146,12 @@ def test_sharded_emix_mesh_one_step():
 
     assert bool(np.all(np.asarray(st_sh["emi_converged"])))
     assert bool(np.all(np.asarray(st_sh["knp_converged"])))
+    # rtol 3e-4: at rtol_emi 1e-6 the sharded/unsharded solves differ by
+    # reduction order up to ~1.2e-4 relative on ~0.03% of entries
+    # (measured); 3e-4 still sits 4+ orders below any physics scale
     np.testing.assert_allclose(
         np.asarray(out_ref["c"]), np.asarray(out_sh["c"]),
-        rtol=1e-4, atol=1e-7,
+        rtol=3e-4, atol=1e-7,
     )
     np.testing.assert_allclose(
         np.asarray(out_ref["phi_M"]), np.asarray(out_sh["phi_M"]),
