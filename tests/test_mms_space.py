@@ -175,3 +175,56 @@ def test_mms_space_mixed_degrees():
                 np.array(hs[1:]) / np.array(hs[:-1]))
             print((de, dk), key, "rates", rates)
             assert rates[-1] > gate, ((de, dk), key, es, rates)
+
+
+@pytest.mark.slow
+def test_mixed_degrees_active_membrane():
+    """Active HH run with degree_knp=2, degree_emi=1: exercises the
+    mixed-space membrane plumbing (knp-space trace tensors for Nernst /
+    update_ode, emi-space tensors for phi_M jumps) that the passive MMS
+    gate does not touch."""
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from knpemidg_tpu.config import Ion, PhysicalParams, SolverParams, StimParams
+    from knpemidg_tpu.mesh.generators import box_2d_neuron
+    from knpemidg_tpu.models.hh import HodgkinHuxleySI
+    from knpemidg_tpu.solver import StandardSolver
+
+    params = PhysicalParams(
+        dt=1.0e-4, n_steps_ODE=25, C_M=0.02, temperature=300.0,
+        F=96485.0, R=8.314,
+        phi_M_init=-0.07438609374462003, phi_M_init_type="constant",
+        rho_sub={0: 0.0, 1: 0.0},
+    )
+    Na_i, Na_e = 12.838513108648856, 100.71925900027354
+    K_i, K_e = 124.15397583491901, 3.3236967382705265
+    ions = [
+        Ion(name="K", z=1.0, D_sub={0: 1.96e-9, 1: 1.96e-9},
+            c_init_sub={0: K_e, 1: K_i}),
+        Ion(name="Cl", z=-1.0, D_sub={0: 2.03e-9, 1: 2.03e-9},
+            c_init_sub={0: Na_e + K_e, 1: Na_i + K_i}),
+        Ion(name="Na", z=1.0, D_sub={0: 1.33e-9, 1: 1.33e-9},
+            c_init_sub={0: Na_e, 1: Na_i}),
+    ]
+    stim = StimParams(stimulus={"stim_amplitude": 10.0},
+                      stimulus_locator=lambda x: x[0] < 20e-6)
+    S = StandardSolver(params, ions, degree_emi=1, degree_knp=2)
+    S.setup_domain(box_2d_neuron(0))
+    S.setup_parameters()
+    S.setup_FEM_spaces()
+    S.setup_membrane_model(stim, {1: HodgkinHuxleySI(stimulus=True)})
+    assert S.nd == 3 and S.nd_knp == 6          # P1 vs P2 triangle dofs
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-6, atol_emi=1e-40,
+                      rtol_knp=1e-8, atol_knp=1e-40)
+    state = S.solve_system_active(5 * S.params.dt, 0.0, sp)
+    phi_M = np.asarray(state["phi_M"])
+    c = np.asarray(state["c"])
+    assert c.shape[1] == 6                      # knp space is P2
+    assert np.all(np.isfinite(phi_M)) and np.all(c > 0)
+    assert np.all(phi_M > -0.2) and np.all(phi_M < 0.1)
+    mids = S.tables.midpoints
+    stim_sel = mids[:, 0] < 20e-6
+    assert phi_M[stim_sel].max() > -0.0743 + 2e-3
