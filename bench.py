@@ -29,7 +29,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 N_STEPS = 10       # the reference EMIx protocol: Tstop = 1 ms, dt = 0.1 ms
-CPU_STEPS = 1
+CPU_STEPS = 10     # same protocol for a fair vs_baseline ratio
 
 
 def build(dtype=None, mesh=None):
@@ -172,9 +172,7 @@ def main():
             t_cpu = time_steps(S2, sp2, CPU_STEPS, "cpu")
     except Exception as e:                            # pragma: no cover
         print(f"# cpu baseline failed: {e}", file=sys.stderr)
-    # the CPU baseline runs only step 1 (a full 10-step block costs ~3 min);
-    # step 1 carries the highest iteration counts for the device too, so
-    # the ratio is conservative
+
 
     vs = (t_cpu / t_dev) if t_cpu else 1.0
     print(json.dumps({
