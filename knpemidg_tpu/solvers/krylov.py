@@ -86,16 +86,20 @@ def pcg(
     z = precond(r)
     p = z
     rz = _dot(r, z)
+    zz = _dot(z, z)
     bz = precond(b if b_ref is None else b_ref)
     bnorm = jnp.sqrt(_dot(bz, bz))
     tol = jnp.maximum(rtol * bnorm, atol)
 
+    # the convergence test reads the CARRIED ||z||^2 computed in the body
+    # (recomputing the full dot in `cond` costs one extra (nd, nc)
+    # reduction per iteration for nothing)
     def cond(state):
-        x, r, z, p, rz, k = state
-        return (jnp.sqrt(_dot(z, z)) > tol) & (k < max_it)
+        x, r, z, p, rz, zz, k = state
+        return (zz > tol * tol) & (k < max_it)
 
     def body(state):
-        x, r, z, p, rz, k = state
+        x, r, z, p, rz, zz, k = state
         Ap = matvec(p)
         alpha = rz / _dot(p, Ap)
         x = proj(x + alpha * p)
@@ -104,10 +108,11 @@ def pcg(
         rz_new = _dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1)
+        return (x, r, z, p, rz_new, _dot(z, z), k + 1)
 
-    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, (x0, r, z, p, rz, jnp.int32(0)))
-    rn = jnp.sqrt(_dot(z, z))
+    x, r, z, p, rz, zz, k = jax.lax.while_loop(
+        cond, body, (x0, r, z, p, rz, zz, jnp.int32(0)))
+    rn = jnp.sqrt(zz)
     return KrylovResult(x=x, iters=k, resnorm=rn, converged=rn <= tol)
 
 
