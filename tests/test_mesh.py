@@ -120,3 +120,45 @@ def test_box_generators():
     mem = m3.if_tags > 0
     assert (m3.cell_tags[m3.if_cells[mem, 0]] == 0).all()
     assert (m3.cell_tags[m3.if_cells[mem, 1]] == 1).all()
+
+
+def test_emix_facet_universe():
+    """Sanity-bound the adjacency-reconstructed EMIx membrane tags
+    (VERDICT r3 item 7).
+
+    The reference remaps ground-truth facet labels from tags.h5
+    (run_EMIx_simulation.py:204-216), which is absent from the snapshot
+    (.MISSING_LARGE_BLOBS); mesh/io.load_emix_mesh reconstructs membrane
+    facets from cell-label adjacency instead.  tags.xdmf:6 declares the
+    facet MeshFunction over 246,206 triangles -- the mesh's COMPLETE facet
+    set -- so the reconstruction must (a) enumerate exactly that facet
+    universe and (b) yield a membrane subset consistent with the cell-label
+    geometry: every ECS<->ICS contact facet is membrane, nothing else is,
+    and this volume has no glial<->neuron contacts (no inert tag-10 class
+    for the real tags to disagree with us on).
+    """
+    import os, sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from run_EMIx_simulation import DEFAULT_MESH
+    from knpemidg_tpu.mesh.io import load_emix_mesh
+
+    if not os.path.exists(os.path.join(DEFAULT_MESH, "mesh.h5")):
+        pytest.skip("EMIx mesh assets not in snapshot")
+    m = load_emix_mesh(DEFAULT_MESH)
+
+    # (a) same facet universe as tags.xdmf:6
+    assert m.num_interior_facets + len(m.ef_tags) == 246206
+
+    # (b) membrane = exactly the label-discontinuity facets (measured once,
+    # pinned): 19,689 glial + 4,494 neuron facets, and ZERO glial<->neuron
+    # contacts in this volume, so the only freedom the missing ground-truth
+    # tags.h5 had -- marking same-label or ICS-ICS contacts differently --
+    # is structurally absent here.
+    lo = m.cell_tags[m.if_cells[:, 0]]
+    hi = m.cell_tags[m.if_cells[:, 1]]
+    assert ((m.if_tags > 0) == (lo != hi)).all()
+    assert (m.if_tags == 1).sum() == 19689
+    assert (m.if_tags == 2).sum() == 4494
+    assert (m.if_tags == 10).sum() == 0
+    # exterior facets are never membrane (untagged -> Neumann wall)
+    assert set(np.unique(m.ef_tags)) == {0}
