@@ -15,7 +15,7 @@ sharded axis is always the trailing one.
 """
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import numpy as np
 import jax
@@ -42,11 +42,12 @@ def _pad_last(a, n_extra, fill):
     return np.concatenate([np.asarray(a), pad], axis=-1)
 
 
-def pad_facet_axis(g: Dict[str, Any], masks: Dict[str, Any], multiple: int,
-                   n_mem: int):
+def pad_facet_axis(g: Dict[str, Any], masks: Optional[Dict[str, Any]],
+                   multiple: int, n_mem: int):
     """Pad the interior-facet axis with extra dummy entries (zero area,
     tag -1) so it divides the device count.  Gather maps only ever point at
-    entries < nf+1, so the padding is inert."""
+    entries < nf+1, so the padding is inert.  `masks` may be None (the
+    mixed-degree second geometry dict shares the solver's one mask set)."""
     nf1 = g["f_area"].shape[-1]
     target = -(-nf1 // multiple) * multiple
     extra = target - nf1
@@ -57,6 +58,8 @@ def pad_facet_axis(g: Dict[str, Any], masks: Dict[str, Any], multiple: int,
     for k in FACET_ARRAYS:
         if k in g and g[k] is not None:
             g[k] = jnp.asarray(_pad_last(g[k], extra, fills.get(k, 0)))
+    if masks is None:
+        return g, None
     masks = dict(masks)
     masks["f_sip"] = jnp.asarray(_pad_last(masks["f_sip"], extra, False))
     masks["f_mem"] = jnp.asarray(_pad_last(masks["f_mem"], extra, False))
@@ -98,6 +101,23 @@ def shard_partition(S, n_devices: int, align: int = 128):
     return np.concatenate(parts), size
 
 
+def _permute_cell_dict(g, perm, inv):
+    """Permute one geometry dict's cell axis and remap its cell-id-valued
+    arrays (neighbor table, facet->cell and exterior-facet->cell maps)."""
+    import jax.numpy as jnp
+
+    g = dict(g)
+    for k in CELL_ARRAYS:
+        if k == "nbr" or g.get(k) is None:
+            continue
+        g[k] = jnp.asarray(np.asarray(g[k])[..., perm])
+    nbr = np.asarray(g["nbr"])
+    g["nbr"] = jnp.asarray(inv[nbr][:, perm])
+    for k in ("f_cp", "f_cm", "e_c"):
+        g[k] = jnp.asarray(inv[np.asarray(g[k])])
+    return g
+
+
 def permute_cells(S, perm: np.ndarray):
     """Renumber the solver's cell axis by `perm` (new position -> old id):
     permutes every cell-indexed array and remaps every array whose VALUES
@@ -109,19 +129,14 @@ def permute_cells(S, perm: np.ndarray):
     nc = perm.size
     inv = np.empty(nc, dtype=np.int64)
     inv[perm] = np.arange(nc)
-    g = dict(S.g)
-    for k in CELL_ARRAYS:
-        if k == "nbr" or g.get(k) is None:
-            continue
-        g[k] = jnp.asarray(np.asarray(g[k])[..., perm])
-    nbr = np.asarray(g["nbr"])
-    g["nbr"] = jnp.asarray(inv[nbr][:, perm])
-    for k in ("f_cp", "f_cm", "e_c"):
-        g[k] = jnp.asarray(inv[np.asarray(g[k])])
-    S.g = g
+    S.g = _permute_cell_dict(S.g, perm, inv)
+    if getattr(S, "g2", None) is not None:   # mixed degree_emi != degree_knp
+        S.g2 = _permute_cell_dict(S.g2, perm, inv)
     for k in ("cp", "cm"):                 # membrane-presliced cell maps
         if k in getattr(S, "mem_dev", {}):
             S.mem_dev[k] = jnp.asarray(inv[np.asarray(S.mem_dev[k])])
+            if getattr(S, "mem_dev2", None) is not None:
+                S.mem_dev2[k] = S.mem_dev[k]
     S.D = jnp.asarray(np.asarray(S.D)[:, perm])
     S.rho = jnp.asarray(np.asarray(S.rho)[perm])
     S._comp_np = S._comp_np[perm]
@@ -149,22 +164,29 @@ def pad_cell_axis(S, extra: int):
         return
     import jax.numpy as jnp
 
-    g = dict(S.g)
+    nc = S.n_cells
     far = float(np.abs(np.asarray(S.mesh.vertices)).max()) * 2.0 + 1.0
-    nf_dummy = int(g["f_area"].shape[-1]) - 1     # the padded dummy facet
-    fills = {"vol": float(np.asarray(g["vol"]).mean()), "diam": 1.0,
-             "cell_tag": 0, "cell_qp": far, "cell_mid": far,
-             "cf_idx": nf_dummy, "cf_is_plus": True}
-    for k in CELL_ARRAYS:
-        if k == "nbr" or g.get(k) is None:
-            continue
-        g[k] = jnp.asarray(_pad_last(g[k], extra, fills.get(k, 0)))
-    nbr = np.asarray(g["nbr"])
-    nc = nbr.shape[1]
-    self_idx = np.arange(nc, nc + extra, dtype=nbr.dtype)
-    g["nbr"] = jnp.asarray(np.concatenate(
-        [nbr, np.broadcast_to(self_idx, (nbr.shape[0], extra))], axis=1))
-    S.g = g
+
+    def pad_dict(g):
+        g = dict(g)
+        nf_dummy = int(g["f_area"].shape[-1]) - 1  # the padded dummy facet
+        fills = {"vol": float(np.asarray(g["vol"]).mean()), "diam": 1.0,
+                 "cell_tag": 0, "cell_qp": far, "cell_mid": far,
+                 "cf_idx": nf_dummy, "cf_is_plus": True}
+        for k in CELL_ARRAYS:
+            if k == "nbr" or g.get(k) is None:
+                continue
+            g[k] = jnp.asarray(_pad_last(g[k], extra, fills.get(k, 0)))
+        nbr = np.asarray(g["nbr"])
+        nc = nbr.shape[1]
+        self_idx = np.arange(nc, nc + extra, dtype=nbr.dtype)
+        g["nbr"] = jnp.asarray(np.concatenate(
+            [nbr, np.broadcast_to(self_idx, (nbr.shape[0], extra))], axis=1))
+        return g
+
+    S.g = pad_dict(S.g)
+    if getattr(S, "g2", None) is not None:   # mixed degree_emi != degree_knp
+        S.g2 = pad_dict(S.g2)
     # D must stay positive at pads: kappa = F psi sum z^2 D c feeds the EMI
     # preconditioner diagonal (assembly.py:320) -- a zero kappa row would
     # make the block-Jacobi inverse singular
@@ -197,11 +219,6 @@ def shard_solver(S, mesh: DeviceMesh):
     ``attach_pc`` so the frozen preconditioner is built at padded shapes)."""
     from .halo import build_halo, halo_spmv_fn
 
-    if getattr(S, "mixed_degrees", False):
-        raise NotImplementedError(
-            "shard_solver does not yet support degree_emi != degree_knp "
-            "(the cell permutation / padding would need to rewrite both "
-            "geometry dicts); use equal degrees for sharded runs")
     n = mesh.devices.size
     nc = S.n_cells
     S._invalidate_caches()
@@ -213,6 +230,8 @@ def shard_solver(S, mesh: DeviceMesh):
     S.n_cells_pad = int(halo["n_pad"])
 
     S.g, S.masks = pad_facet_axis(S.g, S.masks, n, S.n_mem)
+    if getattr(S, "g2", None) is not None:
+        S.g2, _ = pad_facet_axis(S.g2, None, n, S.n_mem)
 
     # host snapshot of the permuted+padded node coordinates: the moment-
     # deflation build reads them on host, and the sharded device array is
@@ -230,20 +249,26 @@ def shard_solver(S, mesh: DeviceMesh):
             if v is not None and hasattr(v, "ndim") and v.ndim >= 1:
                 d[k] = jax.device_put(v, _last_axis_spec(mesh, v.ndim))
 
-    put(S.g, CELL_ARRAYS | FACET_ARRAYS)
+    geo_dicts = [S.g] + ([S.g2] if getattr(S, "g2", None) is not None else [])
+    for gd in geo_dicts:
+        put(gd, CELL_ARRAYS | FACET_ARRAYS)
+        for k in ("w_c", "w_f", "Phi_c", "A_c", "e_c", "e_n", "e_area", "e_R",
+                  "e_qp", "e_tag", "M0", "phibar"):
+            if k in gd and hasattr(gd[k], "ndim"):
+                gd[k] = jax.device_put(gd[k], repl)
     put(S.masks, MASK_ARRAYS)
-    for k in ("w_c", "w_f", "Phi_c", "A_c", "e_c", "e_n", "e_area", "e_R",
-              "e_qp", "e_tag", "M0", "phibar"):
-        if k in S.g and hasattr(S.g[k], "ndim"):
-            S.g[k] = jax.device_put(S.g[k], repl)
     S.D = jax.device_put(S.D, _last_axis_spec(mesh, 2))
     S.rho = jax.device_put(S.rho, _last_axis_spec(mesh, 1))
-    for k in ("fidx", "mem_of_facet", "midpoints"):
-        S.mem_dev[k] = jax.device_put(S.mem_dev[k], repl)
+    mem_dicts = [S.mem_dev] + ([S.mem_dev2]
+                               if getattr(S, "mem_dev2", None) is not None
+                               else [])
+    for md in mem_dicts:
+        for k in ("fidx", "mem_of_facet", "midpoints"):
+            md[k] = jax.device_put(md[k], repl)
     # replicate every remaining array leaf: under a multi-process mesh all
     # jit inputs must be global arrays (single-device-committed leftovers
     # would mix addressable domains)
-    for d in (S.g, S.masks, S.mem_dev):
+    for d in (*geo_dicts, S.masks, *mem_dicts):
         for k, v in d.items():
             if hasattr(v, "ndim") and not hasattr(v, "sharding"):
                 d[k] = jax.device_put(v, repl)

@@ -157,3 +157,72 @@ def test_sharded_emix_mesh_one_step():
         np.asarray(out_ref["phi_M"]), np.asarray(out_sh["phi_M"]),
         rtol=1e-3, atol=2e-6,
     )
+
+
+def _build_mixed(degree_emi=1, degree_knp=2):
+    """Active-HH 2D solver with degree_emi != degree_knp (the mixed-space
+    setup of tests/test_mms_space.test_mixed_degrees_active_membrane)."""
+    from knpemidg_tpu.config import Ion, PhysicalParams, StimParams
+    from knpemidg_tpu.mesh.generators import box_2d_neuron
+    from knpemidg_tpu.models.hh import HodgkinHuxleySI
+    from knpemidg_tpu.solver import StandardSolver
+
+    params = PhysicalParams(
+        dt=1.0e-4, n_steps_ODE=25, C_M=0.02, temperature=300.0,
+        F=96485.0, R=8.314,
+        phi_M_init=-0.07438609374462003, phi_M_init_type="constant",
+        rho_sub={0: 0.0, 1: 0.0},
+    )
+    Na_i, Na_e = 12.838513108648856, 100.71925900027354
+    K_i, K_e = 124.15397583491901, 3.3236967382705265
+    ions = [
+        Ion(name="K", z=1.0, D_sub={0: 1.96e-9, 1: 1.96e-9},
+            c_init_sub={0: K_e, 1: K_i}),
+        Ion(name="Cl", z=-1.0, D_sub={0: 2.03e-9, 1: 2.03e-9},
+            c_init_sub={0: Na_e + K_e, 1: Na_i + K_i}),
+        Ion(name="Na", z=1.0, D_sub={0: 1.33e-9, 1: 1.33e-9},
+            c_init_sub={0: Na_e, 1: Na_i}),
+    ]
+    stim = StimParams(stimulus={"stim_amplitude": 10.0},
+                      stimulus_locator=lambda x: x[0] < 20e-6)
+    S = StandardSolver(params, ions, degree_emi=degree_emi,
+                       degree_knp=degree_knp)
+    S.setup_domain(box_2d_neuron(0))
+    S.setup_parameters()
+    S.setup_FEM_spaces()
+    S.setup_membrane_model(stim, {1: HodgkinHuxleySI(stimulus=True)})
+    return S
+
+
+def test_shard_solver_mixed_degrees():
+    """degree_emi=1 / degree_knp=2 under 4-way sharding must match the
+    single-device step (VERDICT r3 item 9: shard_solver used to raise on
+    mixed degrees; now both geometry dicts are permuted/padded/placed)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from knpemidg_tpu.config import SolverParams
+    from knpemidg_tpu.parallel.sharding import (device_mesh, shard_solver,
+                                                unpad_state)
+
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-8, rtol_knp=1e-8,
+                      max_it_emi=300, max_it_knp=150, gmres_restart=10)
+
+    S_ref = _build_mixed()
+    out_ref, _ = S_ref.fused_step(sp)(S_ref._initial_state(0.0))
+
+    S_sh = _build_mixed()
+    shard_state = shard_solver(S_sh, device_mesh(4))
+    out_sh, st_sh = S_sh.fused_step(sp)(shard_state(S_sh._initial_state(0.0)))
+    out_sh = unpad_state(S_sh, out_sh)
+
+    assert bool(np.all(np.asarray(st_sh["emi_converged"])))
+    assert bool(np.all(np.asarray(st_sh["knp_converged"])))
+    assert np.asarray(out_sh["c"]).shape[1] == 6      # knp space stays P2
+    np.testing.assert_allclose(
+        np.asarray(out_ref["c"]), np.asarray(out_sh["c"]), rtol=5e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ref["phi_M"]), np.asarray(out_sh["phi_M"]),
+        rtol=1e-4, atol=1e-7,
+    )
