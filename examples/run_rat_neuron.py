@@ -3,7 +3,9 @@
 
 Real 228-16MG.CNG morphology when the XDMF/H5 blob is available (the h5 is
 absent from the reference snapshot, .MISSING_LARGE_BLOBS); otherwise a
-synthetic axon-box morphology exercising the same structure:
+procedural ~108-um bifurcating neuron (soma + trunk + two branches,
+mesh/generators.bifurcating_neuron) exercising the same structure on
+non-convex branched geometry:
 
 * membrane facets derived from cell-tag disagreement between neighbor cells
   (run_rat_neuron.py:192-201),
@@ -19,8 +21,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 from knpemidg_tpu.config import Ion, PhysicalParams, SolverParams, StimParams
-from knpemidg_tpu.mesh.core import build_mesh
-from knpemidg_tpu.mesh.generators import box_mesh
 from knpemidg_tpu.models.hh import HodgkinHuxleySI
 from knpemidg_tpu.models.leak import LeakSI
 from knpemidg_tpu.solver import StandardSolver
@@ -44,25 +44,18 @@ def load_rat_mesh():
 
 
 def synthetic_neuron_mesh(resolution=0):
-    """Fallback morphology: an axon box whose membrane splits at the domain
-    midpoint into leak (tag 1) / HH (tag 2) -- same tag structure and model
-    mix as the real run."""
-    l = 16
-    nx, ny, nz = l * 2 ** resolution, 6 * 2 ** resolution, 6 * 2 ** resolution
-    verts, cells = box_mesh((0, 0, 0), (l, 0.6, 0.6), nx, ny, nz)
-    mids = verts[cells].mean(axis=1)
-    a, b = np.array([2, 0.2, 0.2]), np.array([l - 2, 0.4, 0.4])
-    tags = np.all((mids >= a) & (mids <= b), axis=1).astype(np.int32)
+    """Fallback morphology: a procedural bifurcating neuron (soma + trunk +
+    two descending branches) with the real run's y-split membrane tagging
+    (leak tag 1 distal / HH tag 2 proximal) on non-convex branched geometry
+    (VERDICT r3 item 8; mesh/generators.bifurcating_neuron)."""
+    from knpemidg_tpu.mesh.generators import bifurcating_neuron
 
-    def mem_tag(fmids, lo, hi):
-        return np.where(fmids[:, 0] >= l / 2, 2, 1).astype(np.int32)
-
-    m = build_mesh(verts, cells, tags, membrane_tag_from_cells=mem_tag)
-    m.vertices *= 1e-6
-    return m
+    # ~108 um neuron: long enough that AP conduction resolves across
+    # time steps (the real morphology spans ~300 um)
+    return bifurcating_neuron(resolution)
 
 
-def build_solver(resolution=0, dt=1.0e-4, dtype=None):
+def build_solver(resolution=0, dt=1.0e-4, dtype=None, g_syn=200.0):
     params = PhysicalParams(
         dt=dt, n_steps_ODE=25, C_M=0.02, temperature=300.0,
         F=96485.0, R=8.314,
@@ -87,10 +80,12 @@ def build_solver(resolution=0, dt=1.0e-4, dtype=None):
         locator = lambda x: (x[1] < -80e-6) or (x[0] < -125e-6) or (x[0] > 140e-6)
     else:
         mesh = synthetic_neuron_mesh(resolution)
-        locator = lambda x: x[0] < 4e-6
+        # synaptic input at the distal branch tips (cf. the real run's
+        # distal-dendrite locator above; 0.14 * length)
+        locator = lambda x: x[1] < 15.0e-6
     stim_params = StimParams(
-        stimulus={"stim_amplitude": 200.0},
-        stimulus_locator=locator, g_syn_bar=200.0,
+        stimulus={"stim_amplitude": g_syn},
+        stimulus_locator=locator, g_syn_bar=g_syn,
     )
     S = StandardSolver(params, ion_list, dtype=dtype)
     S.setup_domain(mesh, quad_degree=2)

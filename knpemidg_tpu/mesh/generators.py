@@ -208,3 +208,68 @@ def box_3d_axons(resolution_factor: int, length_factor: int = 2) -> Mesh:
     )
     m.vertices *= 1e-6
     return m
+
+
+def bifurcating_neuron(resolution_factor: int = 0,
+                       length: float = 108.0) -> Mesh:
+    """Procedural bifurcating neuron: soma + vertical trunk + two diagonal
+    descending branches, embedded in ECS (synthetic stand-in for the
+    228-16MG.CNG morphology of examples/rat-neuron/run_rat_neuron.py, whose
+    h5 blob is absent from the reference snapshot).
+
+    Mirrors the real run's structure (run_rat_neuron.py:192-201, :238):
+    membrane facets from cell-tag disagreement, split by the y coordinate
+    into soma/proximal (tag 2, y >= length/3 -- Hodgkin-Huxley) vs distal
+    processes (tag 1 -- passive leak carrying the synaptic stimulus), on
+    genuinely non-convex branched geometry: an AP initiated at the distal
+    tips must cross the bifurcation point to reach soma.
+
+    `length` is the domain's y extent in um (default ~108, matching the
+    hundreds-of-um scale of the real morphology: a few-um neuron is
+    electrotonically compact, i.e. the AP fires simultaneously everywhere
+    and conduction velocity is unmeasurable).  Cells stay ISOTROPIC
+    (h = 0.3 um in x/y, 0.2 in z): stretching cells instead was measured
+    to stall the EMI PCG (block-Jacobi + deflation degrade with cell
+    aspect ratio).  Coordinates in meters (domain 3.0 x length x 0.6 um).
+    """
+    rf = 2**resolution_factor
+    nx, ny, nz = 10 * rf, int(round(length / 0.3)) * rf, 3 * rf
+    L = np.array([3.0, float(length), 0.6])
+    verts, cells = box_mesh((0, 0, 0), tuple(L), nx, ny, nz)
+    mids = verts[cells].mean(axis=1)
+
+    w = 0.25                        # process half-width (x-y plane)
+    cx = 1.5                        # trunk / soma center line
+    yb = 0.42 * length              # bifurcation point
+
+    def seg_dist(p, a, b):
+        """2D (x-y) distance from points p to segment a-b."""
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        ab = b - a
+        t = np.clip(((p[:, :2] - a) @ ab) / (ab @ ab), 0.0, 1.0)
+        proj = a + t[:, None] * ab
+        return np.linalg.norm(p[:, :2] - proj, axis=1)
+
+    zband = np.abs(mids[:, 2] - 0.3) <= 0.1 + 1e-9      # middle z layer
+    soma = ((np.abs(mids[:, 0] - cx) <= 0.45)
+            & (mids[:, 1] >= 0.75 * length) & (mids[:, 1] <= 0.92 * length))
+    trunk = seg_dist(mids, (cx, yb), (cx, 0.75 * length)) <= w
+    bl = seg_dist(mids, (cx, yb), (0.45, 0.08 * length)) <= w
+    br = seg_dist(mids, (cx, yb), (2.55, 0.08 * length)) <= w
+    cell_tags = (zband & (soma | trunk | bl | br)).astype(np.int32)
+
+    def marker(x):
+        tags = np.zeros(len(x), dtype=np.int32)
+        on_bdry = np.any(_near(x, 0.0) | _near(x, L), axis=1)
+        tags[on_bdry] = 5
+        return tags
+
+    def mem_tag(fmids, lo, hi):
+        # reference split: y >= threshold -> soma/proximal HH (tag 2),
+        # below -> distal leak (tag 1) (run_rat_neuron.py:199-201)
+        return np.where(fmids[:, 1] >= length / 3.0, 2, 1).astype(np.int32)
+
+    m = build_mesh(verts, cells, cell_tags, surface_tags=marker,
+                   membrane_tag_from_cells=mem_tag)
+    m.vertices *= 1e-6
+    return m

@@ -117,7 +117,11 @@ def moment_vectors(coords, comp, order: int = 2, dtype=None):
         m = comp == p
         sel = coords[m]
         ctr = sel.mean(axis=(0, 1))
-        L = float(np.abs(sel - ctr).max()) or 1.0
+        # per-AXIS scaling: a scalar L collapses the transverse moments of
+        # elongated compartments (36:1 on the bifurcating-neuron mesh) to
+        # near-zero fields whose equilibrated Galerkin rows are pure noise
+        L = np.abs(sel - ctr).max(axis=(0, 1))
+        L = np.where(L > 0, L, 1.0)
         loc = (coords - ctr) / L                   # (nc, nd, d)
         base = []
         if order >= 1:
@@ -279,6 +283,18 @@ def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
     As = Ac * s[:, None] * s[None, :]
     if rank1:
         As = As + (1.0 / n_agg) * jnp.ones_like(As)
+    # small diagonal shift before the Cholesky: f32 Galerkin noise can push
+    # a near-null compartment-constant mode of the equilibrated coarse
+    # matrix slightly INDEFINITE (measured -1.2e-7 of lambda_max on the
+    # elongated bifurcating-neuron mesh), and a NaN-poisoned cho_solve
+    # silently zeroes the whole preconditioner (PCG "converges" in 0
+    # iterations).  1e-5 of the unit equilibrated diagonal sits ~100x above
+    # the observed noise and ~60x below the smallest genuine coarse mode;
+    # the modes it caps are the exact constants already handled by
+    # deflation + the masked projection.  (An eigh-clamped pseudo-inverse
+    # is cleaner but jnp.linalg.eigh at n_agg ~ 1000 is prohibitively slow
+    # to compile/run on the remote TPU backend.)
+    As = As + 1e-5 * jnp.eye(n_agg, dtype=As.dtype)
     fac = jax.scipy.linalg.cho_factor(As)
     inv = jax.scipy.linalg.cho_solve(fac, jnp.eye(n_agg, dtype=As.dtype))
 

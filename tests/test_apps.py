@@ -89,3 +89,61 @@ def test_run_tortuosity_small():
     assert c[0][:, ecs].max() > K_ecs0 * 1.01, c[0][:, ecs].max()
     # immobile charge present: eliminated Cl reconstruction stays positive
     assert np.asarray(state["c_elim"]).min() > 0
+
+
+@pytest.mark.nightly
+def test_rat_neuron_ap_propagation(tmp_path):
+    """AP propagation across the bifurcation point of the branched synthetic
+    morphology + conduction velocity via postprocess.ap_velocity (VERDICT r3
+    item 8).
+
+    Measured trajectory (CPU f32, production tolerances): the synaptic
+    charge from the distal leak tips initiates an AP near the leak/HH
+    boundary (y ~ 40 um, on the two branches BELOW the bifurcation at
+    y = 45.4 um); it crosses the branch point and runs up the trunk to the
+    soma (0-mV crossings: y=50 @ ~1.63 ms, y=65 @ ~1.66, y=75 @ ~1.68,
+    y=88 @ ~1.70 -> ~0.57 m/s), and also back down the distal processes.
+    The AP-burst steps exceed the two-level preconditioner's reach at
+    rtol 1e-5 on this extreme thin-process geometry (max_it hit; ROADMAP
+    round-4 notes), so assertions are threshold-crossing-based -- they are
+    insensitive to the last digits of the solve."""
+    from run_rat_neuron import build_solver
+    from knpemidg_tpu.postprocess import Results
+
+    S = build_solver(resolution=0)
+    sp = _sp(max_it_emi=1500, rtol_emi=1e-5, rtol_knp=1e-7)
+    fname = str(tmp_path) + "/"
+    state = S.solve_system_active(19 * S.params.dt, 0.0, sp, filename=fname,
+                                  save_fields=True)
+    phi_M = np.asarray(state["phi_M"])
+    assert np.all(np.isfinite(phi_M)) and np.all(np.asarray(state["c"]) > 0)
+
+    res = Results(fname + "results.h5")
+
+    def crossing(p, tags=None):
+        s = res.membrane_series(p, tags)["phi_M"]
+        t = res.times
+        above = s >= 0.0
+        idx = np.flatnonzero(above & ~np.roll(above, 1))
+        assert len(idx) > 0 and idx[0] > 0, f"no 0-mV crossing at {p}"
+        i = idx[0]
+        f = (0.0 - s[i - 1]) / (s[i] - s[i - 1])
+        return t[i - 1] + f * (t[i] - t[i - 1])
+
+    # the AP fires on BOTH branches below the bifurcation...
+    t_bl = crossing((0.8e-6, 35e-6, 0.3e-6))
+    t_br = crossing((2.2e-6, 35e-6, 0.3e-6))
+    # ...and crosses the branch point into the trunk and up to the soma
+    t50 = crossing((1.3e-6, 50e-6, 0.3e-6))
+    t65 = crossing((1.3e-6, 65e-6, 0.3e-6))
+    t75 = crossing((1.3e-6, 75e-6, 0.3e-6))
+    t88 = crossing((1.05e-6, 88e-6, 0.3e-6))
+    assert t50 < t65 < t75 < t88, (t50, t65, t75, t88)
+    assert max(t_bl, t_br) < t88          # branches fire before the soma
+
+    # conduction velocity along the trunk (measured ~0.57 m/s)
+    v = res.ap_velocity((1.3e-6, 50e-6, 0.3e-6), (1.05e-6, 88e-6, 0.3e-6), threshold=0.0,
+                        tags=[2])
+    assert 0.1 < v < 3.0, v
+    # the spike actually overshoots 0 mV
+    assert phi_M.max() > 0.02
