@@ -48,24 +48,40 @@ def build(dtype=None, mesh=None):
     return S, sp
 
 
+_SYNC_FN = None
+
+
 def _scalar_sync(v):
     """One tiny device->host read as the completion barrier.  A full-array
     pull rides the remote tunnel at ~30 MB/s and a bare scalar round trip
     costs a variable 25-65 ms, so per-step syncs poison per-step timings;
-    the block protocol below pays it ONCE per measured block."""
+    the block protocol below pays it ONCE per measured block.
+
+    The jitted scalar extractor is cached at module level: building a fresh
+    jax.jit(lambda ...) per call retraces every time (~400 ms measured --
+    that retrace, not the tunnel, was most of round 3's 224-vs-133 ms/step
+    bench gap)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    s0 = jax.jit(lambda a: jnp.asarray(a).ravel()[0] * 1.0)
-    return float(np.asarray(s0(v)))
+    global _SYNC_FN
+    if _SYNC_FN is None:
+        _SYNC_FN = jax.jit(lambda a: jnp.asarray(a).ravel()[0] * 1.0)
+    return float(np.asarray(_SYNC_FN(v)))
 
 
-def time_steps(S, sp, n_steps, label):
+def time_steps(S, sp, n_steps, label, reps=1):
     """Reference protocol, honestly timed: `n_steps` fused splitting steps
     from t = 0 (run_EMIx_simulation.py: Tstop = 1 ms, dt = 0.1 ms) inside
     ONE lax.scan block with ONE device sync -- per-step host syncs added
-    60-100 ms/step of tunnel overhead to earlier rounds' numbers."""
+    60-100 ms/step of tunnel overhead to earlier rounds' numbers.
+
+    `reps` > 1 reruns the identical block and reports the DISTRIBUTION
+    (VERDICT r3 item 1): per-rerun ms/step, median/p10/p90, per-step
+    iteration counts per rerun, and the separately measured sync round-trip
+    so the reader can subtract the tunnel from the headline.
+    Returns (median_s_per_step, detail_dict)."""
     import jax
     import numpy as np
 
@@ -73,19 +89,50 @@ def time_steps(S, sp, n_steps, label):
     block = S._jit(("bench_block", n_steps, sp), S.fused_block(sp, n_steps))
     out, stats = block(state)               # compile + warm caches
     _scalar_sync(out["c"])
-    t0 = time.perf_counter()
-    out, stats = block(state)               # identical trajectory, timed
-    _scalar_sync(out["c"])
-    dt_wall = (time.perf_counter() - t0) / n_steps
 
-    emi = np.asarray(stats["emi_iters"]).tolist()
-    knp = np.asarray(stats["knp_iters"]).tolist()
+    # sync round-trip alone (already-ready array): the per-rerun wall below
+    # includes exactly one of these
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _scalar_sync(out["c"])
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+
+    walls, stat_bufs = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out, stats = block(state)           # identical trajectory, timed
+        _scalar_sync(out["c"])
+        walls.append(time.perf_counter() - t0)
+        stat_bufs.append(stats)
+
+    per_step = np.asarray(walls) / n_steps
+    med = float(np.median(per_step))
+    emi_runs = [np.asarray(s["emi_iters"]).tolist() for s in stat_bufs]
+    knp_runs = [np.asarray(s["knp_iters"]).tolist() for s in stat_bufs]
+    detail = {
+        "reruns_ms_per_step": [round(v * 1e3, 2) for v in per_step],
+        "median_ms": round(med * 1e3, 3),
+        "p10_ms": round(float(np.percentile(per_step, 10)) * 1e3, 3),
+        "p90_ms": round(float(np.percentile(per_step, 90)) * 1e3, 3),
+        "sync_rtt_ms": round(rtt * 1e3, 2),
+        "median_ms_net_of_rtt": round((float(np.median(np.asarray(walls) - rtt))
+                                       / n_steps) * 1e3, 3),
+        "emi_iters_per_rerun": emi_runs,
+        "knp_iters_per_rerun": knp_runs,
+        "emi_total_per_rerun": [int(np.sum(e)) for e in emi_runs],
+        "knp_total_per_rerun": [int(np.sum(k)) for k in knp_runs],
+    }
     print(
-        f"# {label}: {dt_wall*1e3:.2f} ms/step over the {n_steps}-step "
-        f"reference protocol  emi_iters={emi}  knp_iters={knp}",
+        f"# {label}: median {med*1e3:.2f} ms/step over {reps}x the "
+        f"{n_steps}-step reference protocol "
+        f"(p10 {detail['p10_ms']}, p90 {detail['p90_ms']}, "
+        f"rtt {detail['sync_rtt_ms']} ms/block)  "
+        f"emi_iters={emi_runs[-1]}  knp_iters={knp_runs[-1]}",
         file=sys.stderr,
     )
-    return dt_wall
+    return med, detail
 
 
 def phase_breakdown(S, sp):
@@ -156,7 +203,8 @@ def main():
         mesh.vertices *= 1e2          # m -> cm (emix unit system)
 
     S, sp = build(mesh=mesh)
-    t_dev = time_steps(S, sp, N_STEPS, f"device[{jax.default_backend()}]")
+    t_dev, dist = time_steps(S, sp, N_STEPS,
+                             f"device[{jax.default_backend()}]", reps=7)
     try:
         phases = phase_breakdown(S, sp)
         print(f"# phases: {phases}", file=sys.stderr)
@@ -169,7 +217,7 @@ def main():
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             S2, sp2 = build(mesh=mesh)
-            t_cpu = time_steps(S2, sp2, CPU_STEPS, "cpu")
+            t_cpu, _ = time_steps(S2, sp2, CPU_STEPS, "cpu")
     except Exception as e:                            # pragma: no cover
         print(f"# cpu baseline failed: {e}", file=sys.stderr)
 
@@ -181,8 +229,10 @@ def main():
         "unit": "ms",
         "vs_baseline": round(vs, 3),
         "phases_note": "per-phase numbers carry a device sync each and "
-                       "overstate; `value` (one sync per 10-step block) "
-                       "is the honest figure",
+                       "overstate; `value` (median ms/step across 7 reruns "
+                       "of the 10-step block, one sync per block) is the "
+                       "honest figure",
+        "dist": dist,
         "phases": phases,
     }))
 
