@@ -269,9 +269,16 @@ def assemble_emi(
     mms=None,
     t=None,
     gc: Optional[Dict[str, Any]] = None,
+    mem_t: Optional[Dict[str, Any]] = None,
 ):
     """Build EMI block-ELL operator, rhs, and block-Jacobi preconditioner
     diagonal (the regularized B operator, solver.py:376-401).
+
+    ``mem_t``: membrane-presliced tables (solver._set_membrane_tags); when
+    given, the Robin membrane source (C_phi g JUMP(v), solver.py:332-344)
+    is computed on the n_mem facet axis and scatter-added into the facet
+    rhs instead of running masked full-facet test integrals (~90% of the
+    interior facets are not membrane on the EMIx mesh).
 
     ``gc``: geometry dict of the *concentration* space when it differs from
     the EMI space (mixed ``degree_emi != degree_knp``, reference
@@ -355,12 +362,25 @@ def assemble_emi(
         # Robin data: splitting -> phi_M; passive -> phi_M - I_ch/C_phi
         # (solver.py:332-344). Term: + C_phi g JUMP(v) = g C_phi (v_i - v_e)
         gr = phi_M if splitting else phi_M - I_ch_tot / C_phi
-        gf = gr[None, :].at[:, masks["f_memidx"]].get(
-            mode="promise_in_bounds")[0] * mem                 # (nf+1,)
-        bg_p, bg_m = _test_integrals(
-            g, -C_phi * gf[None, :] * ones, C_phi * gf[None, :] * ones
-        )
-        b_p, b_m = b_p + bg_p, b_m + bg_m
+        if mem_t is not None:
+            nm = mem_t["cp"].shape[0]
+            fidx = mem_t["fidx"]
+            area_m = g["f_area"].at[fidx].get(mode="promise_in_bounds")
+            src = C_phi * gr[:nm] * area_m                     # (nm,)
+            w_f = g["w_f"]
+            bg_p_m = -src * jnp.einsum("q,qim->im", w_f, mem_t["Rp"])
+            bg_m_m = src * jnp.einsum("q,qim->im", w_f, mem_t["Rm"])
+            b_p = b_p.at[:, fidx].add(bg_p_m, mode="promise_in_bounds",
+                                      unique_indices=True)
+            b_m = b_m.at[:, fidx].add(bg_m_m, mode="promise_in_bounds",
+                                      unique_indices=True)
+        else:
+            gf = gr[None, :].at[:, masks["f_memidx"]].get(
+                mode="promise_in_bounds")[0] * mem             # (nf+1,)
+            bg_p, bg_m = _test_integrals(
+                g, -C_phi * gf[None, :] * ones, C_phi * gf[None, :] * ones
+            )
+            b_p, b_m = b_p + bg_p, b_m + bg_m
     else:
         xq = g["f_qp"]                                         # (nq, d, nf+1)
         stag = g["f_stag"]
@@ -625,6 +645,7 @@ def assemble_knp_all(
     splitting: bool = True,
     static_blocks: Optional[jnp.ndarray] = None,   # (m, K, nd, nd, nc)
     gp: Optional[Dict[str, Any]] = None,
+    mem_t: Optional[Dict[str, Any]] = None,
 ):
     """All solved ions' KNP operators + rhs in one pass with SHARED facet /
     membrane gathers (production degree-1 path; reference runs one
@@ -636,6 +657,16 @@ def assemble_knp_all(
     (replacing m copies in the unrolled per-ion loop; knp_assem phase
     measured 48 -> target <30 ms on the EMIx mesh).  ``max(D*un, 0) ==
     D*max(un, 0)`` since D > 0, so the upwind switch is ion-independent.
+
+    ``mem_t``: the solver's membrane-presliced tables (Rp/Rm/cp/cm/fidx,
+    solver._set_membrane_tags).  When given, the ENTIRE membrane rhs
+    (Robin sources + [phi][C] coupling, solver.py:609-629) is computed on
+    the n_mem facet axis and scattered once into the full facet array --
+    on the EMIx mesh only ~24k of the ~240k interior facets are membrane,
+    and the full-axis (m, nq, nf) intermediates were ~20 ms/step of pure
+    masked-out work (tools/exp_knp_asm_bisect.py).  The phi facet traces
+    also leave the big per-side gather in that mode (jphi is only needed
+    on membrane facets).
 
     Returns (blocks (m,K,nd,nd,nc), rhs (m,nd,nc))."""
     if gp is None:
@@ -663,16 +694,24 @@ def assemble_knp_all(
               * (g["vol"] * D)[:, None, None, :]
               * drift[None, :, None, :] * phibar[None, None, :, None])
 
-    # --- ONE stacked gather per side: [gphi | phi | D_all] ------------------
+    # --- ONE stacked gather per side: [gphi | (phi) | D_all] ----------------
+    # phi trace rows ride the gather only on the legacy full-facet path;
+    # with mem_t the phi jump is gathered membrane-locally below.
     ndp = phi.shape[0]
-    stackA = jnp.concatenate([gphi, phi, D], axis=0)         # (d+ndp+m, nc)
+    if mem_t is None:
+        stackA = jnp.concatenate([gphi, phi, D], axis=0)     # (d+ndp+m, nc)
+    else:
+        stackA = jnp.concatenate([gphi, D], axis=0)          # (d+m, nc)
     SP = stackA.at[:, g["f_cp"]].get(mode="promise_in_bounds")
     SM = stackA.at[:, g["f_cm"]].get(mode="promise_in_bounds")
     u_p = jnp.maximum(jnp.einsum("df,df->f", SP[:d], g["f_n"]), 0.0)
     u_m = jnp.maximum(-jnp.einsum("df,df->f", SM[:d], g["f_n"]), 0.0)
-    D_p, D_m = SP[d + ndp:], SM[d + ndp:]                    # (m, nf+1)
-    jphi = jnp.einsum("qif,if->qf", gp["f_Rp"], SP[d:d + ndp]) \
-        - jnp.einsum("qif,if->qf", gp["f_Rm"], SM[d:d + ndp])  # (nq, nf+1)
+    if mem_t is None:
+        D_p, D_m = SP[d + ndp:], SM[d + ndp:]                # (m, nf+1)
+        jphi = jnp.einsum("qif,if->qf", gp["f_Rp"], SP[d:d + ndp]) \
+            - jnp.einsum("qif,if->qf", gp["f_Rm"], SM[d:d + ndp])  # (nq, nf+1)
+    else:
+        D_p, D_m = SP[d:], SM[d:]
 
     # --- upwind blocks ------------------------------------------------------
     scale = (-psi) * z[:, None] * (g["f_area"] * sip)[None, :]   # (m, nf+1)
@@ -702,42 +741,82 @@ def assemble_knp_all(
     # --- rhs ----------------------------------------------------------------
     b_cell = (g["vol"] / dt) * jnp.einsum("ij,kjc->kic", M0, c_n)
 
-    # alpha traces: one stacked gather per side for all ions
     alpha = (D[:, None, :] * (z * z)[:, None, None]) * c_k / alpha_sum[None]
     AU = alpha.reshape(m * nd, -1)
-    AUp = AU.at[:, g["f_cp"]].get(mode="promise_in_bounds").reshape(m, nd, nf1)
-    AUm = AU.at[:, g["f_cm"]].get(mode="promise_in_bounds").reshape(m, nd, nf1)
-    a_p = jnp.einsum("qif,kif->kqf", Rp, AUp)
-    a_m = jnp.einsum("qif,kif->kqf", Rm, AUm)
     Cfac = (C_M / (F * dt)) / z                                  # (m,)
-    C_p = a_p * Cfac[:, None, None]
-    C_m = a_m * Cfac[:, None, None]
-
-    # membrane fields: one stacked gather
-    mem_all = jnp.concatenate([phi_M[None], I_ch_tot[None], I_ch], axis=0)
-    got = mem_all.at[:, masks["f_memidx"]].get(mode="promise_in_bounds")
-    got = got * mem[None, :]
-    phiM_f = got[0][None, None, :]                               # (1,1,nf+1)
-    Itot_f = got[1]
-    Ik_f = got[2:][:, None, :]                                   # (m,1,nf+1)
-
     inv_Fz = (1.0 / (F * z))[:, None, None]
-    s_extra_p = (a_p * Itot_f[None, None, :] * inv_Fz) if splitting else 0.0
-    s_extra_m = (a_m * Itot_f[None, None, :] * inv_Fz) if splitting else 0.0
-    s_e = C_p * phiM_f - Ik_f * inv_Fz + s_extra_p               # (m, nq, nf+1)
-    s_i = C_m * phiM_f - Ik_f * inv_Fz + s_extra_m
 
-    jC = C_p - C_m
-    aC = 0.5 * (C_p + C_m)
-    jphi_b = jphi[None]
-    val_p = -s_e + (-jphi_b * jC * 0.5 - jphi_b * aC)
-    val_m = s_i + (-jphi_b * jC * 0.5 + jphi_b * aC)
-    memq = mem[None, None, :]
-    b_p = g["f_area"] * jnp.einsum("q,kqf,qif->kif", w, val_p * memq, Rp)
-    b_m = g["f_area"] * jnp.einsum("q,kqf,qif->kif", w, val_m * memq, Rm)
+    if mem_t is not None:
+        # membrane rhs on the n_mem axis: every facet here IS membrane, so
+        # no masks; phi_M / I_ch are already slot-ordered (no gather)
+        nm = mem_t["cp"].shape[0]
+        Rp_m, Rm_m = mem_t["Rp"], mem_t["Rm"]                # (nq, nd, nm)
+        fidx = mem_t["fidx"]
+        stackM = jnp.concatenate([AU, phi], axis=0)          # (m*nd+ndp, nc)
+        MPm = stackM.at[:, mem_t["cp"]].get(mode="promise_in_bounds")
+        MMm = stackM.at[:, mem_t["cm"]].get(mode="promise_in_bounds")
+        AUp = MPm[:m * nd].reshape(m, nd, nm)
+        AUm = MMm[:m * nd].reshape(m, nd, nm)
+        jphi_m = jnp.einsum("qim,im->qm", Rp_m, MPm[m * nd:]) \
+            - jnp.einsum("qim,im->qm", Rm_m, MMm[m * nd:])   # (nq, nm)
+        a_p = jnp.einsum("qim,kim->kqm", Rp_m, AUp)
+        a_m = jnp.einsum("qim,kim->kqm", Rm_m, AUm)
+        C_p = a_p * Cfac[:, None, None]
+        C_m = a_m * Cfac[:, None, None]
+        phiM_f = phi_M[:nm][None, None, :]
+        Itot_f = I_ch_tot[:nm]
+        Ik_f = I_ch[:, :nm][:, None, :]                      # (m,1,nm)
+        s_extra_p = (a_p * Itot_f[None, None, :] * inv_Fz) if splitting else 0.0
+        s_extra_m = (a_m * Itot_f[None, None, :] * inv_Fz) if splitting else 0.0
+        s_e = C_p * phiM_f - Ik_f * inv_Fz + s_extra_p       # (m, nq, nm)
+        s_i = C_m * phiM_f - Ik_f * inv_Fz + s_extra_m
+        jC = C_p - C_m
+        aC = 0.5 * (C_p + C_m)
+        jphi_b = jphi_m[None]
+        val_p = -s_e + (-jphi_b * jC * 0.5 - jphi_b * aC)
+        val_m = s_i + (-jphi_b * jC * 0.5 + jphi_b * aC)
+        area_m = g["f_area"].at[fidx].get(mode="promise_in_bounds")
+        b_p = area_m * jnp.einsum("q,kqm,qim->kim", w, val_p, Rp_m)
+        b_m = area_m * jnp.einsum("q,kqm,qim->kim", w, val_m, Rm_m)
+        bpm_m = jnp.concatenate([b_p, b_m], axis=1).reshape(m * 2 * nd, nm)
+        bpm = jnp.zeros((m * 2 * nd, nf1), dtype=b_cell.dtype)
+        bpm = bpm.at[:, fidx].set(bpm_m, mode="promise_in_bounds",
+                                  unique_indices=True)
+    else:
+        # legacy full-facet path (kept for callers without membrane tables)
+        AUp = AU.at[:, g["f_cp"]].get(
+            mode="promise_in_bounds").reshape(m, nd, nf1)
+        AUm = AU.at[:, g["f_cm"]].get(
+            mode="promise_in_bounds").reshape(m, nd, nf1)
+        a_p = jnp.einsum("qif,kif->kqf", Rp, AUp)
+        a_m = jnp.einsum("qif,kif->kqf", Rm, AUm)
+        C_p = a_p * Cfac[:, None, None]
+        C_m = a_m * Cfac[:, None, None]
+
+        # membrane fields: one stacked gather
+        mem_all = jnp.concatenate([phi_M[None], I_ch_tot[None], I_ch], axis=0)
+        got = mem_all.at[:, masks["f_memidx"]].get(mode="promise_in_bounds")
+        got = got * mem[None, :]
+        phiM_f = got[0][None, None, :]                       # (1,1,nf+1)
+        Itot_f = got[1]
+        Ik_f = got[2:][:, None, :]                           # (m,1,nf+1)
+
+        s_extra_p = (a_p * Itot_f[None, None, :] * inv_Fz) if splitting else 0.0
+        s_extra_m = (a_m * Itot_f[None, None, :] * inv_Fz) if splitting else 0.0
+        s_e = C_p * phiM_f - Ik_f * inv_Fz + s_extra_p       # (m, nq, nf+1)
+        s_i = C_m * phiM_f - Ik_f * inv_Fz + s_extra_m
+
+        jC = C_p - C_m
+        aC = 0.5 * (C_p + C_m)
+        jphi_b = jphi[None]
+        val_p = -s_e + (-jphi_b * jC * 0.5 - jphi_b * aC)
+        val_m = s_i + (-jphi_b * jC * 0.5 + jphi_b * aC)
+        memq = mem[None, None, :]
+        b_p = g["f_area"] * jnp.einsum("q,kqf,qif->kif", w, val_p * memq, Rp)
+        b_m = g["f_area"] * jnp.einsum("q,kqf,qif->kif", w, val_m * memq, Rm)
+        bpm = jnp.concatenate([b_p, b_m], axis=1).reshape(m * 2 * nd, nf1)
 
     # batched rhs gather
-    bpm = jnp.concatenate([b_p, b_m], axis=1).reshape(m * 2 * nd, nf1)
     rhs = b_cell
     for l in range(cf.shape[0]):
         got = bpm.at[:, cf[l]].get(mode="promise_in_bounds").reshape(m, 2, nd, -1)

@@ -314,6 +314,7 @@ class Solver:
             phi_M=phi_M_pad, I_ch_tot=I_ch_tot_pad,
             splitting=self.splitting_scheme, mms=self.mms, t=t,
             gc=self._g_knp(),
+            mem_t=getattr(self, "mem_dev", None),
         )
 
     @staticmethod
@@ -599,6 +600,7 @@ class Solver:
                 phi_M=phi_M_pad, I_ch=I_ch_pad[:self.N_ions],
                 I_ch_tot=I_ch_tot_pad, splitting=self.splitting_scheme,
                 static_blocks=statics, gp=self.g,
+                mem_t=getattr(self, "mem_dev", None),
             )
             return blocksK, rhsK + srcs
 

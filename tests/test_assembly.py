@@ -158,6 +158,46 @@ def test_emi_operator_nullspace_and_symmetry():
     assert w[0] > -1e-8
 
 
+def test_assemble_emi_membrane_axis_parity():
+    """assemble_emi's membrane-axis Robin source (mem_t fast path) must
+    match the legacy masked full-facet test integrals exactly."""
+    mesh = mms_square(3)
+    geom = build_geometry(mesh)
+    g = assembly.precompute_static(geom.to_device())
+    tables = build_membrane_tables(mesh, [1, 2, 3, 4])
+    masks = make_masks(g, tables)
+    nc, nd = mesh.num_cells, 3
+    rng = np.random.default_rng(11)
+    ions = {
+        "z": jnp.asarray([1.0, -1.0, 1.0]),
+        "D": jnp.asarray(1.0 + rng.random((3, nc))),
+        "c": jnp.asarray(1.0 + 0.1 * rng.random((3, nd, nc))),
+    }
+    phys = {"F": 96.0, "psi": 0.04, "C_phi": 1e2, "tau_emi": 40.0,
+            "Lp": 1.0}
+    n_mem = tables.n_mem
+    phi_M = jnp.asarray(np.r_[0.07 * rng.random(n_mem) - 0.08, 0.0])
+    I_ch_tot = jnp.asarray(np.r_[rng.random(n_mem) - 0.5, 0.0])
+    fidx = jnp.asarray(tables.fidx, dtype=jnp.int32)
+    mem_t = {
+        "fidx": fidx,
+        "Rp": g["f_Rp"][:, :, fidx],
+        "Rm": g["f_Rm"][:, :, fidx],
+        "cp": g["f_cp"][fidx],
+        "cm": g["f_cm"][fidx],
+    }
+    for splitting in (True, False):
+        ref = assembly.assemble_emi(g, masks, ions, phys, phi_M=phi_M,
+                                    I_ch_tot=I_ch_tot, splitting=splitting)
+        fast = assembly.assemble_emi(g, masks, ions, phys, phi_M=phi_M,
+                                     I_ch_tot=I_ch_tot, splitting=splitting,
+                                     mem_t=mem_t)
+        for a, b, name in zip(ref, fast, ("blocks", "rhs", "P")):
+            scale = np.abs(np.asarray(a)).max()
+            assert np.abs(np.asarray(a) - np.asarray(b)).max() \
+                < 1e-10 * scale, (splitting, name)
+
+
 def test_assemble_knp_all_matches_per_ion():
     """The shared-gather multi-ion assembly (assemble_knp_all) must produce
     exactly the stacked per-ion assemble_knp results (production fast path;
@@ -211,4 +251,24 @@ def test_assemble_knp_all_matches_per_ion():
         assert np.abs(np.asarray(bl_all) - bl_ref).max() < 1e-12 * bscale, \
             splitting
         assert np.abs(np.asarray(rhs_all) - rhs_ref).max() < 1e-12 * rscale, \
+            splitting
+
+        # membrane-axis fast path (mem_t): identical system up to f32
+        # reassociation of the membrane rhs terms
+        fidx = jnp.asarray(tables.fidx, dtype=jnp.int32)
+        mem_t = {
+            "fidx": fidx,
+            "Rp": g["f_Rp"][:, :, fidx],
+            "Rm": g["f_Rm"][:, :, fidx],
+            "cp": g["f_cp"][fidx],
+            "cm": g["f_cm"][fidx],
+        }
+        bl_mem, rhs_mem = assembly.assemble_knp_all(
+            g, masks, {"z": z, "D": D, "c_n": c_n, "c_k": c_k}, phys,
+            phi, alpha_sum, phi_M, I_ch, I_ch_tot,
+            splitting=splitting, static_blocks=statics, mem_t=mem_t,
+        )
+        assert np.abs(np.asarray(bl_mem) - bl_ref).max() < 1e-12 * bscale, \
+            splitting
+        assert np.abs(np.asarray(rhs_mem) - rhs_ref).max() < 1e-10 * rscale, \
             splitting

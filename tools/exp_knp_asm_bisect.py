@@ -142,7 +142,10 @@ def main():
         got = got * mem[None, :]
         phiM_f = got[0][None, None, :]
         Itot_f = got[1]
-        Ik_f = got[2:][:, None, :]
+        Ik_f = got[2:2 + m][:, None, :]
+        if upto == "memgather":
+            return (blocks.sum() + b_cell.sum() + a_p.sum() + a_m.sum()
+                    + jphi.sum() + got.sum())
         inv_Fz = (1.0 / (F * z))[:, None, None]
         s_e = C_p * phiM_f - Ik_f * inv_Fz + a_p * Itot_f[None, None, :] * inv_Fz
         s_i = C_m * phiM_f - Ik_f * inv_Fz + a_m * Itot_f[None, None, :] * inv_Fz
@@ -151,10 +154,15 @@ def main():
         jphi_b = jphi[None]
         val_p = -s_e + (-jphi_b * jC * 0.5 - jphi_b * aC)
         val_m = s_i + (-jphi_b * jC * 0.5 + jphi_b * aC)
+        if upto == "sei":
+            return (blocks.sum() + b_cell.sum() + jphi.sum()
+                    + val_p.sum() + val_m.sum())
         memq = mem[None, None, :]
         b_p = g["f_area"] * jnp.einsum("q,kqf,qif->kif", w, val_p * memq, Rp)
         b_m = g["f_area"] * jnp.einsum("q,kqf,qif->kif", w, val_m * memq, Rm)
         bpm = jnp.concatenate([b_p, b_m], axis=1).reshape(m * 2 * nd, nf1)
+        if upto == "bpm":
+            return blocks.sum() + b_cell.sum() + jphi.sum() + bpm.sum()
         rhs = b_cell
         for l in range(cf.shape[0]):
             got = bpm.at[:, cf[l]].get(
@@ -162,22 +170,27 @@ def main():
             rhs = rhs + jnp.where(isp[l][None, None, :], got[:, 0], got[:, 1])
         return blocks.sum() + rhs.sum()
 
-    UPTO = ["drift", "upwind", "blockgather", "statics", "alpha", "full",
-            "wrapper"]
+    UPTO = ["drift", "upwind", "blockgather", "statics", "alpha", "memgather",
+            "sei", "bpm", "full", "wrapper"]
 
     prev = 0.0
     print(f"{'stage':12s} {'ms/rep':>8s} {'delta':>8s}")
     for upto in UPTO:
         def body(carry, _, upto=upto):
             ck, acc = carry
+            # phi must depend on the carry: the production step feeds a FRESH
+            # phi from the EMI solve every step, so the phi-dependent
+            # advection blocks are rebuilt each step -- a constant phi lets
+            # XLA hoist them out of this scan and undercount the assembly.
+            phi_c = phi + 1e-30 * ck.reshape(-1)[0]
             if upto == "wrapper":
                 blocksK, rhsK = S._knp_assemble_all(
-                    ck, c_elim, phi, phi_M_pad, I_ch_pad, I_ch_tot_pad, t, ck)
+                    ck, c_elim, phi_c, phi_M_pad, I_ch_pad, I_ch_tot_pad, t, ck)
                 s = blocksK.sum() + rhsK.sum()
             else:
                 alpha_sum = jnp.einsum("k,kc,kic->ic", S.z**2, S.D,
                                        S._all_c(ck, c_elim))
-                s = stages(S.g, S.masks, ck, phi, alpha_sum, upto)
+                s = stages(S.g, S.masks, ck, phi_c, alpha_sum, upto)
             ck = ck + 1e-30 * s            # serialize reps
             return (ck, acc + s), ()
 
