@@ -113,9 +113,16 @@ class SolverParams:
     # AP upstrokes (200 -> 12 iters on the EMIx mesh at order 2)
     emi_moment_order: int = 2
     # EMI Ritz deflation: harvest this many approximate small-eigenvalue
-    # modes of the preconditioned operator at pc build (f64 Galerkin;
-    # 0 = off).  Experimental -- see ROADMAP.md round-3 notes
-    emi_ritz: int = 0
+    # modes of the preconditioned operator at the INITIAL pc build
+    # (device Lanczos + genuine-f64 host Galerkin; 0 = off).  Default ON
+    # since round 4: cuts the EMIx AP-window EMI iteration total 43.8%
+    # (349 -> 196, spike steps 59 -> 16) at equal accuracy.  The round-3
+    # "marginal" verdict was an artifact of jnp silently truncating the
+    # on-device f64 Galerkin to f32 on TPU (x64 disabled).  Harvesting
+    # again at a LATER state is measured harmful (tools/exp_ritz_ab.py:
+    # +82% at step 3, divergent at n=32), so pc refreshes reuse the t=0
+    # harvest rather than re-running it.
+    emi_ritz: int = 16
     # rebuild the frozen preconditioner every N steps (0 = freeze at t0).
     # The coarse/deflation Galerkin data drifts with the concentrations;
     # refresh bounds that drift on long runs (hundreds of steps).  NOTE the

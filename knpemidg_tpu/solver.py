@@ -38,7 +38,8 @@ from .ops.spmv import (bell_matvec, bell_matvec_fan,
                        block_jacobi_inverse)
 from .solvers.krylov import bicgstab_batched, gmres, gmres_batched, pcg
 from .solvers import direct as direct_solvers
-from .solvers.twolevel import (build_moment_deflation, build_ritz_deflation,
+from .solvers.twolevel import (build_moment_deflation, ritz_galerkin_host,
+                               ritz_lanczos_W,
                                build_two_level, compartment_ids,
                                make_two_level, moment_vectors,
                                two_level_apply_batched, two_level_apply_fn)
@@ -1005,7 +1006,7 @@ class Solver:
         Pinv = block_jacobi_inverse(P_diag)
         return lambda r: block_jacobi_apply(Pinv, r)
 
-    def _build_pc(self, state, sp_: SolverParams):
+    def _build_pc(self, state, sp_: SolverParams, reuse_ritz=None):
         """Build the frozen two-level coarse data for EMI and per-ion KNP
         operators at the given state (once, outside the per-step jits).
         Returns {'emi': data, 'knp': stacked data} to be carried in the
@@ -1034,19 +1035,26 @@ class Solver:
             if sp_.emi_moment_order > 0:
                 pc["emi"] = dict(pc["emi"],
                                  **self._emi_moment_data(blocks, sp_))
-            if getattr(sp_, "emi_ritz", 0) > 0:
+            if reuse_ritz:
+                pc["emi"] = dict(pc["emi"], **reuse_ritz)
+            elif getattr(sp_, "emi_ritz", 0) > 0:
                 asm = self._jit(("asm_emi", self.splitting_scheme),
                                 self._assemble_emi)
                 _, rhs, _ = asm(state["c"], state["c_elim"], phi_M_pad,
                                 I_ch_tot_pad, state["t"])
+                # device Lanczos -> host f64 Galerkin: jnp "f64" silently
+                # truncates to f32 on TPU without x64 (round-4 finding --
+                # the round-3 on-device Galerkin never actually ran in f64
+                # on hardware, which is why emi_ritz looked marginal)
                 harvest = self._jit(
-                    ("pc_ritz", sp_.agg_size, sp_.emi_ritz),
-                    lambda b, Pd_, data, r: build_ritz_deflation(
+                    ("pc_ritz_W", sp_.agg_size, sp_.emi_ritz),
+                    lambda b, Pd_, data, r: ritz_lanczos_W(
                         b, self.g["nbr"],
                         two_level_apply_fn(data, Pd_, sp_.agg_size),
                         r, n_ritz=sp_.emi_ritz),
                 )
-                ritz = harvest(blocks, Pd, pc["emi"], rhs)
+                ritz_W = harvest(blocks, Pd, pc["emi"], rhs)
+                ritz = ritz_galerkin_host(blocks, self.g["nbr"], ritz_W)
                 # the harvest is numerically fragile (near-parallel Ritz
                 # vectors make the Galerkin ill-conditioned); a NaN here
                 # would silently zero every later solve's tolerance test,
@@ -1106,11 +1114,21 @@ class Solver:
 
     def _refresh_pc(self, state, sp_: SolverParams):
         """Rebuild the frozen preconditioner data at the current state (the
-        coarse/deflation Galerkin matrices drift with the concentrations)."""
-        state = {k: v for k, v in state.items() if k != "pc"}
-        return self.attach_pc(state, sp_)
+        coarse/deflation Galerkin matrices drift with the concentrations).
 
-    def attach_pc(self, state, sp_: SolverParams):
+        The EMI Ritz harvest is NOT re-run: re-harvesting at a mid-window
+        state is measured actively harmful (tools/exp_ritz_ab.py, r4: +82%
+        window iterations at step 3, divergence at n_ritz=32 -- the
+        increment-form rhs at a converged state is a degenerate Lanczos
+        seed), while the t=0 harvest keeps winning across the window even
+        as the blocks drift.  The existing ritz fields ride through."""
+        old = state.get("pc") or {}
+        keep = {k: v for k, v in (old.get("emi") or {}).items()
+                if k.startswith("ritz_")}
+        state = {k: v for k, v in state.items() if k != "pc"}
+        return self.attach_pc(state, sp_, reuse_ritz=keep or None)
+
+    def attach_pc(self, state, sp_: SolverParams, reuse_ritz=None):
         """Attach frozen preconditioner data to a state pytree (no-op if
         already present or not applicable).  Also populates the KNP
         static-operator cache EAGERLY: _knp_static can only cache concrete
@@ -1129,7 +1147,7 @@ class Solver:
                     [cache[k] for k in range(self.N_ions)])
         if "pc" in state:
             return state
-        pc = self._build_pc(state, sp_)
+        pc = self._build_pc(state, sp_, reuse_ritz=reuse_ritz)
         if pc is None:
             return state
         return dict(state, pc=pc)

@@ -162,19 +162,12 @@ def build_moment_deflation(matvec, W, ridge: float = 1e-6, fan=None):
     return {"mom_W": W, "mom_inv": inv, "mom_s": sm}
 
 
-def build_ritz_deflation(blocks, nbr, precond, b, k: int = 40,
-                         n_ritz: int = 8, ridge: float = 1e-8):
-    """Harvest approximate small-eigenvalue modes of the PRECONDITIONED EMI
-    operator by k steps of preconditioned Lanczos from rhs ``b``, keep the
-    ``n_ritz`` smallest Ritz vectors, and build their deflation Galerkin
-    in FLOAT64 (round 2 measured that the f32 Galerkin of these
-    small-A-energy modes is noise-dominated and HURTS -- the f64 fan
-    matvec below is the fix the round-2 postmortem called for).
-
-    Runs once per pc build/refresh (off the hot path).  Returns fields to
-    merge into the two-level data dict ('ritz_W', 'ritz_inv', 'ritz_s'),
-    applied like the moment correction in two_level_apply_fn."""
-    from ..ops.spmv import bell_matvec, bell_matvec_fan
+def ritz_lanczos_W(blocks, nbr, precond, b, k: int = 40, n_ritz: int = 8):
+    """Device half of the Ritz harvest: k steps of preconditioned Lanczos
+    from rhs ``b``, returning the ``n_ritz`` smallest normalized Ritz
+    fields W (n_ritz, nd, nc).  Pair with :func:`ritz_galerkin_host` for
+    the deflation Galerkin -- see build_ritz_deflation."""
+    from ..ops.spmv import bell_matvec
 
     shape = b.shape
     mv = lambda v: bell_matvec(blocks, nbr, v)
@@ -221,20 +214,52 @@ def build_ritz_deflation(blocks, nbr, precond, b, k: int = 40,
     W = jnp.einsum("kv,kic->vic", Y[:, idx].astype(b.dtype), Qz)  # (r, nd, nc)
     # normalize fields
     W = W / jnp.sqrt(jnp.einsum("vic,vic->v", W, W))[:, None, None]
+    return W
 
-    # f64 Galerkin of the deflation fields
-    blocks64 = blocks.astype(jnp.float64)
-    W64 = W.astype(jnp.float64)
-    AW = bell_matvec_fan(blocks64, nbr, W64)
-    G = jnp.einsum("vic,wic->vw", W64, AW)
+
+def ritz_galerkin_host(blocks, nbr, W, ridge: float = 1e-8):
+    """HOST-side float64 deflation Galerkin of the Ritz fields.
+
+    Round 2 measured that an f32 Galerkin of these small-A-energy modes is
+    noise-dominated and actively HURTS; the round-3 fix computed it "in
+    f64" on device -- but on TPU backends with x64 disabled (every
+    production process) jnp silently truncates float64 to float32, so the
+    fix never actually engaged on hardware (round-4 discovery: the
+    UserWarning in the bench logs).  numpy's f64 is unconditional, and the
+    harvest runs once per pc build/refresh, off the hot path, so the
+    device->host pull (~30 MB of W + blocks on the EMIx mesh) is an
+    acceptable setup cost."""
+    B = np.asarray(blocks, dtype=np.float64)          # (K, nd, nd, nc)
+    N = np.asarray(nbr)
+    Wh = np.asarray(W, dtype=np.float64)              # (v, nd, nc)
+    AW = np.einsum("ijc,vjc->vic", B[0], Wh)
+    for s in range(1, B.shape[0]):
+        AW += np.einsum("ijc,vjc->vic", B[s], Wh[:, :, N[s]])
+    G = np.einsum("vic,wic->vw", Wh, AW)
     G = 0.5 * (G + G.T)
-    dg = jnp.diagonal(G)
-    sg = jax.lax.rsqrt(jnp.maximum(dg, 1e-30 * jnp.max(dg)))
+    dg = np.diagonal(G)
+    sg = 1.0 / np.sqrt(np.maximum(dg, 1e-30 * dg.max()))
     Gs = G * sg[:, None] * sg[None, :]
-    Gs = Gs + ridge * jnp.eye(Gs.shape[0], dtype=Gs.dtype)
-    inv = jnp.linalg.inv(Gs)
-    return {"ritz_W": W, "ritz_inv": inv.astype(b.dtype),
-            "ritz_s": sg.astype(b.dtype)}
+    Gs = Gs + ridge * np.eye(Gs.shape[0])
+    inv = np.linalg.inv(Gs)
+    dt = jnp.asarray(W).dtype
+    return {"ritz_W": jnp.asarray(W),
+            "ritz_inv": jnp.asarray(inv.astype(np.dtype(dt.name))),
+            "ritz_s": jnp.asarray(sg.astype(np.dtype(dt.name)))}
+
+
+def build_ritz_deflation(blocks, nbr, precond, b, k: int = 40,
+                         n_ritz: int = 8, ridge: float = 1e-8):
+    """Harvest approximate small-eigenvalue modes of the PRECONDITIONED EMI
+    operator (preconditioned Lanczos on device, :func:`ritz_lanczos_W`)
+    and build their deflation Galerkin in genuine float64 on the host
+    (:func:`ritz_galerkin_host`).  Runs once per pc build/refresh, off the
+    hot path.  Returns fields to merge into the two-level data dict
+    ('ritz_W', 'ritz_inv', 'ritz_s'), applied like the moment correction
+    in two_level_apply_fn.  NOT jittable as a whole (host Galerkin);
+    callers jit the Lanczos half only."""
+    W = ritz_lanczos_W(blocks, nbr, precond, b, k=k, n_ritz=n_ritz)
+    return ritz_galerkin_host(blocks, nbr, W, ridge=ridge)
 
 
 def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
@@ -429,7 +454,16 @@ def two_level_apply_batched(data, P_diag, agg_size: int,
     Additive (BJ + coarse) by default; with ``matvec`` (the BATCHED
     operator apply sharing one gather across systems) the corrections wrap
     into a symmetric V-cycle (BJ, coarse, BJ) at the price of two extra
-    batched matvecs per apply."""
+    batched matvecs per apply.
+
+    A zero-matvec "multiplicative" cycle approximating the post-smoothing
+    residual in coarse space (R(r - A z) ~ R r - Ac R z) was tried in
+    round 4 and is ALGEBRAICALLY VACUOUS: with the same Ac in the residual
+    and the solve, P Ac^{-1}(R r - Ac R z) = P Ac^{-1} R r - P R z -- the
+    correction never sees A's true action on the smoothed iterate, it just
+    subtracts z's chunk means.  Measured on EMIx: KNP GMRES stalls at the
+    iteration cap.  Any real multiplicative coupling needs the fine
+    matvec (ROADMAP.md round-4 notes)."""
     Pinv = jax.vmap(block_jacobi_inverse)(P_diag)
 
     def bj(r):
