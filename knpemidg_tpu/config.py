@@ -115,14 +115,30 @@ class SolverParams:
     # EMI Ritz deflation: harvest this many approximate small-eigenvalue
     # modes of the preconditioned operator at the INITIAL pc build
     # (device Lanczos + genuine-f64 host Galerkin; 0 = off).  Default ON
-    # since round 4: cuts the EMIx AP-window EMI iteration total 43.8%
-    # (349 -> 196, spike steps 59 -> 16) at equal accuracy.  The round-3
-    # "marginal" verdict was an artifact of jnp silently truncating the
-    # on-device f64 Galerkin to f32 on TPU (x64 disabled).  Harvesting
-    # again at a LATER state is measured harmful (tools/exp_ritz_ab.py:
-    # +82% at step 3, divergent at n=32), so pc refreshes reuse the t=0
-    # harvest rather than re-running it.
-    emi_ritz: int = 16
+    # since round 4: with the NULLSPACE-PROJECTED harvest (the f32
+    # Lanczos otherwise collapses onto the EMI constant -- catastrophic
+    # on CPU, see solvers/twolevel.ritz_galerkin_host) n_ritz=24 cuts the
+    # EMIx AP-window EMI iteration total 25% (349 -> 263, spike steps
+    # <= 48) at equal accuracy; n_ritz=16 is measured WORSE than off
+    # (488) -- the harvest quality is erratic below ~24 fields
+    # (tools/exp_ritz_tune.py).  The earlier-round "-43.8%" figure came
+    # from an unprojected harvest whose near-nullspace field happened to
+    # help on TPU rounding and exploded on CPU.  Harvesting again at a
+    # LATER state is measured harmful (tools/exp_ritz_ab.py: +82% at
+    # step 3), so pc refreshes reuse the t=0 harvest.
+    emi_ritz: int = 24
+    # KNP Ritz deflation (experimental, MEASURED AND BURIED): same recipe
+    # on the batched KNP operators -- per-ion preconditioned-Krylov
+    # harvest at the initial pc build, genuine-f64 host Galerkin,
+    # additive correction in the batched two-level apply (0 = off).
+    # Measured on the EMIx 14-step window (tools/exp_knp_ritz.py): n=8
+    # -0.8%, n=16 +2.2% -- a t=0 harvest cannot flatten the drift growth
+    # because the operator CHANGES through the window (the late-window
+    # 43-47 counts are untouched).  n=32 shows -27.5% counts BUT max rel
+    # dc 1.1e-2: the large deflation distorts the preconditioned-norm
+    # convergence test (accuracy laundering), and the wall is a wash
+    # anyway.  Kept as an option for future drift-aware refresh schemes.
+    knp_ritz: int = 0
     # rebuild the frozen preconditioner every N steps (0 = freeze at t0).
     # The coarse/deflation Galerkin data drifts with the concentrations;
     # refresh bounds that drift on long runs (hundreds of steps).  NOTE the

@@ -1054,7 +1054,11 @@ class Solver:
                         r, n_ritz=sp_.emi_ritz),
                 )
                 ritz_W = harvest(blocks, Pd, pc["emi"], rhs)
-                ritz = ritz_galerkin_host(blocks, self.g["nbr"], ritz_W)
+                # project_mean: strip the EMI nullspace (global constant)
+                # from the harvested fields in f64 -- see the function's
+                # docstring for the CPU-f32 catastrophe this prevents
+                ritz = ritz_galerkin_host(blocks, self.g["nbr"], ritz_W,
+                                          project_mean=True)
                 # the harvest is numerically fragile (near-parallel Ritz
                 # vectors make the Galerkin ill-conditioned); a NaN here
                 # would silently zero every later solve's tolerance test,
@@ -1075,7 +1079,7 @@ class Solver:
                     st["t"], st["c"],
                 ),
             )
-            blocksK, _ = asm_knp(state)
+            blocksK, rhsK = asm_knp(state)
             build_k = self._jit(
                 ("pc_knp", sp_.agg_size),
                 jax.vmap(lambda b: build_two_level(
@@ -1084,6 +1088,38 @@ class Solver:
                 )),
             )
             pc["knp"] = build_k(blocksK)
+            if getattr(sp_, "knp_ritz", 0) > 0:
+                # per-ion harvest with the same device-Lanczos + f64 host
+                # Galerkin recipe as emi_ritz.  The KNP operator is mildly
+                # nonsymmetric (upwind drift); the fully-reorthogonalized
+                # Lanczos basis is still the preconditioned Krylov subspace
+                # of the initial residual, and the deflation Galerkin is
+                # computed exactly (symmetric part) on the host.  Seed =
+                # the t=0 increment-form residual rhs - A c (the actual
+                # first solve's r0, mirroring the EMI harvest seed).
+                harvest_k = self._jit(
+                    ("pc_knp_ritz_W", sp_.agg_size, sp_.knp_ritz),
+                    lambda b, data, r, c_m: ritz_lanczos_W(
+                        b, self.g["nbr"],
+                        two_level_apply_fn(data, b[0], sp_.agg_size),
+                        r - bell_matvec(b, self.g["nbr"], c_m),
+                        n_ritz=sp_.knp_ritz, project_mean=False),
+                )
+                parts = []
+                for m in range(self.N_ions):
+                    data_m = jax.tree.map(lambda x: x[m], pc["knp"])
+                    W_m = harvest_k(blocksK[m], data_m, rhsK[m],
+                                    state["c"][m])
+                    parts.append(ritz_galerkin_host(
+                        blocksK[m], self.g["nbr"], W_m))
+                ritz_k = {k: jnp.stack([p[k] for p in parts])
+                          for k in parts[0]}
+                if all(bool(np.isfinite(np.asarray(v)).all())
+                       for v in ritz_k.values()):
+                    pc["knp"] = dict(pc["knp"], **ritz_k)
+                else:                                  # pragma: no cover
+                    print(f"{bcolors.WARNING} knp_ritz harvest non-finite; "
+                          f"disabled for this pc build {bcolors.ENDC}")
         return pc or None
 
     def _emi_moment_data(self, blocks, sp_: SolverParams):

@@ -162,11 +162,15 @@ def build_moment_deflation(matvec, W, ridge: float = 1e-6, fan=None):
     return {"mom_W": W, "mom_inv": inv, "mom_s": sm}
 
 
-def ritz_lanczos_W(blocks, nbr, precond, b, k: int = 40, n_ritz: int = 8):
+def ritz_lanczos_W(blocks, nbr, precond, b, k: int = 40, n_ritz: int = 8,
+                   project_mean: bool = True):
     """Device half of the Ritz harvest: k steps of preconditioned Lanczos
     from rhs ``b``, returning the ``n_ritz`` smallest normalized Ritz
     fields W (n_ritz, nd, nc).  Pair with :func:`ritz_galerkin_host` for
-    the deflation Galerkin -- see build_ritz_deflation."""
+    the deflation Galerkin -- see build_ritz_deflation.
+
+    ``project_mean`` removes the global constant from the seed (the EMI
+    nullspace convention); pass False for regular operators (KNP)."""
     from ..ops.spmv import bell_matvec
 
     shape = b.shape
@@ -175,9 +179,15 @@ def ritz_lanczos_W(blocks, nbr, precond, b, k: int = 40, n_ritz: int = 8):
     def dot(a, c):
         return jnp.einsum("ic,ic->", a, c)
 
-    # preconditioned Lanczos: r-basis Qr, z-basis Qz, T tridiagonal
-    r = b - jnp.mean(b)
-    z = precond(r)
+    # preconditioned Lanczos: r-basis Qr, z-basis Qz, T tridiagonal.
+    # proj: the production PCG projects the constant nullspace out of x
+    # and r EVERY iteration (krylov.pcg); without the same here, the
+    # chunk-coarse piece of the preconditioner reintroduces the constant
+    # over the k iterations and the harvest collapses onto it (A-energy
+    # ~0 -> 1/sqrt(dg) blowup; see ritz_galerkin_host).
+    proj = (lambda v: v - jnp.mean(v)) if project_mean else (lambda v: v)
+    r = proj(b)
+    z = proj(precond(r))
     beta0 = jnp.sqrt(jnp.maximum(dot(r, z), 1e-30))
     Qr = jnp.zeros((k, *shape), dtype=b.dtype).at[0].set(r / beta0)
     Qz = jnp.zeros((k, *shape), dtype=b.dtype).at[0].set(z / beta0)
@@ -194,7 +204,8 @@ def ritz_lanczos_W(blocks, nbr, precond, b, k: int = 40, n_ritz: int = 8):
         # full reorthogonalization in the M-inner product (k is small)
         coef = jnp.einsum("kic,ic->k", Qz, w)
         w = w - jnp.einsum("k,kic->ic", coef, Qr)
-        z = precond(w)
+        w = proj(w)
+        z = proj(precond(w))
         bnew = jnp.sqrt(jnp.maximum(dot(w, z), 1e-30))
         Qr = Qr.at[j + 1].set(jnp.where(j + 1 < k, 1.0, 0.0) * w / bnew)
         Qz = Qz.at[j + 1].set(jnp.where(j + 1 < k, 1.0, 0.0) * z / bnew)
@@ -217,7 +228,8 @@ def ritz_lanczos_W(blocks, nbr, precond, b, k: int = 40, n_ritz: int = 8):
     return W
 
 
-def ritz_galerkin_host(blocks, nbr, W, ridge: float = 1e-8):
+def ritz_galerkin_host(blocks, nbr, W, ridge: float = 1e-8,
+                       project_mean: bool = False, drop_rel: float = 1e-6):
     """HOST-side float64 deflation Galerkin of the Ritz fields.
 
     Round 2 measured that an f32 Galerkin of these small-A-energy modes is
@@ -228,22 +240,55 @@ def ritz_galerkin_host(blocks, nbr, W, ridge: float = 1e-8):
     UserWarning in the bench logs).  numpy's f64 is unconditional, and the
     harvest runs once per pc build/refresh, off the hot path, so the
     device->host pull (~30 MB of W + blocks on the EMIx mesh) is an
-    acceptable setup cost."""
+    acceptable setup cost.
+
+    ``project_mean`` (EMI): remove the global-constant component from each
+    field in f64.  The f32 Lanczos reintroduces the EMI nullspace over its
+    40 iterations (the chunk-coarse apply has no zero-mean guarantee); a
+    field that collapses onto the constant has A-energy ~0 and its
+    1/sqrt(dg) equilibration injects ~1e12-amplified noise into every
+    apply -- measured on CPU-f32 EMIx as phi_M exploding to +-1e5 mV with
+    every Krylov solve at its cap, while the same build on TPU passed on
+    rounding luck (ritz_s there stayed ~1e3, here 1.9e6).
+
+    ``drop_rel``: fields whose A-energy falls below drop_rel * max are
+    ZEROED (W row and its scale), which removes their contribution while
+    keeping shapes static for the jitted apply."""
     B = np.asarray(blocks, dtype=np.float64)          # (K, nd, nd, nc)
     N = np.asarray(nbr)
     Wh = np.asarray(W, dtype=np.float64)              # (v, nd, nc)
+    if project_mean:
+        Wh = Wh - Wh.mean(axis=(1, 2), keepdims=True)
+        nrm = np.sqrt((Wh ** 2).sum(axis=(1, 2), keepdims=True))
+        # a field that WAS (numerically) the constant vanishes here; zero
+        # it rather than dividing by ~0
+        ok = nrm > 1e-3
+        Wh = np.where(ok, Wh / np.maximum(nrm, 1e-30), 0.0)
     AW = np.einsum("ijc,vjc->vic", B[0], Wh)
     for s in range(1, B.shape[0]):
         AW += np.einsum("ijc,vjc->vic", B[s], Wh[:, :, N[s]])
     G = np.einsum("vic,wic->vw", Wh, AW)
     G = 0.5 * (G + G.T)
-    dg = np.diagonal(G)
-    sg = 1.0 / np.sqrt(np.maximum(dg, 1e-30 * dg.max()))
+    dg = np.diagonal(G).copy()
+    live = dg > drop_rel * max(dg.max(), 1e-300)
+    Wh = np.where(live[:, None, None], Wh, 0.0)
+    sg = np.where(live, 1.0 / np.sqrt(np.maximum(dg, 1e-300)), 0.0)
     Gs = G * sg[:, None] * sg[None, :]
     Gs = Gs + ridge * np.eye(Gs.shape[0])
-    inv = np.linalg.inv(Gs)
+    Gs[~live, :] = 0.0
+    Gs[:, ~live] = 0.0
+    Gs[~live, ~live] = 1.0
+    # eigenvalue-truncated pseudo-inverse instead of a plain inverse: an
+    # f32 Lanczos near-breakdown can hand us near-parallel Ritz fields
+    # whose equilibrated Galerkin has eigenvalues at rounding scale; a
+    # plain inverse amplifies the f32 APPLY through those directions by
+    # ~1/lambda and can make the preconditioner effectively singular.
+    # Truncation drops only the breakdown directions.
+    lam, V = np.linalg.eigh(Gs)
+    keep = lam > 1e-6 * lam.max()
+    inv = (V[:, keep] / lam[keep]) @ V[:, keep].T
     dt = jnp.asarray(W).dtype
-    return {"ritz_W": jnp.asarray(W),
+    return {"ritz_W": jnp.asarray(Wh.astype(np.dtype(dt.name))),
             "ritz_inv": jnp.asarray(inv.astype(np.dtype(dt.name))),
             "ritz_s": jnp.asarray(sg.astype(np.dtype(dt.name)))}
 
@@ -259,7 +304,7 @@ def build_ritz_deflation(blocks, nbr, precond, b, k: int = 40,
     in two_level_apply_fn.  NOT jittable as a whole (host Galerkin);
     callers jit the Lanczos half only."""
     W = ritz_lanczos_W(blocks, nbr, precond, b, k=k, n_ritz=n_ritz)
-    return ritz_galerkin_host(blocks, nbr, W, ridge=ridge)
+    return ritz_galerkin_host(blocks, nbr, W, ridge=ridge, project_mean=True)
 
 
 def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
@@ -482,7 +527,12 @@ def two_level_apply_batched(data, P_diag, agg_size: int,
                 z = z + inv @ (rc - d["As"] @ z)
             z = s * z
             zf = jnp.broadcast_to(z[:, None], (n_agg, agg_size)).reshape(-1)[:nc]
-            return jnp.broadcast_to(zf[None, :], (nd, nc))
+            out = jnp.broadcast_to(zf[None, :], (nd, nc))
+            if "ritz_W" in d:      # per-ion Ritz deflation (knp_ritz)
+                Wr, inv_r, s_r = d["ritz_W"], d["ritz_inv"], d["ritz_s"]
+                rr = s_r * jnp.einsum("vic,ic->v", Wr, rs)
+                out = out + jnp.einsum("v,vic->ic", s_r * (inv_r @ rr), Wr)
+            return out
 
         return jax.vmap(one)(data, r)
 

@@ -53,7 +53,7 @@ def test_knp_precond_variants_agree(kind):
 
 
 def test_emi_ritz_deflation_agrees_and_refresh_reuses_harvest():
-    """emi_ritz (default 16 since round 4) is a preconditioner enrichment:
+    """emi_ritz (default 24 since round 4) is a preconditioner enrichment:
     the converged state must match emi_ritz=0 at solver tolerance, and a
     pc refresh must keep the t=0 harvest (re-harvesting mid-run is
     measured harmful, tools/exp_ritz_ab.py)."""

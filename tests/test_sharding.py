@@ -146,17 +146,43 @@ def test_sharded_emix_mesh_one_step():
 
     assert bool(np.all(np.asarray(st_sh["emi_converged"])))
     assert bool(np.all(np.asarray(st_sh["knp_converged"])))
-    # rtol 3e-4: at rtol_emi 1e-6 the sharded/unsharded solves differ by
-    # reduction order up to ~1.2e-4 relative on ~0.03% of entries
-    # (measured); 3e-4 still sits 4+ orders below any physics scale
-    np.testing.assert_allclose(
-        np.asarray(out_ref["c"]), np.asarray(out_sh["c"]),
-        rtol=3e-4, atol=1e-7,
-    )
-    np.testing.assert_allclose(
-        np.asarray(out_ref["phi_M"]), np.asarray(out_sh["phi_M"]),
-        rtol=1e-3, atol=2e-6,
-    )
+
+    # Per-field gate (VERDICT r3 item 6): one blanket rtol could hide a
+    # genuine sharding bug in a single field behind the loosest field's
+    # reduction-order spread.  All spreads are computed BEFORE any assert
+    # so a failure still reports every field.  Bounds are ~3x the measured
+    # max relative deviation (8 virtual devices, ritz16 defaults,
+    # 2026-08-17: c_K 1.6e-4, c_Na/c_elim/phi_M <=3e-5, phi 9.7e-5 -- the
+    # K spread is the largest because [K] has the smallest extracellular
+    # magnitude, 3.32 mM, so reduction-order noise is relatively largest);
+    # every bound still sits orders below any physics scale (mM / mV).
+    def rel_spread(a, b, atol):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        d = np.abs(a - b) - atol
+        return float(np.max(np.maximum(d, 0.0) / np.maximum(np.abs(b), 1e-300)))
+
+    # phi: EMI potential, defined up to the projected-out constant; compare
+    # mean-shifted (same convention as the MMS gates)
+    phi_r = np.asarray(out_ref["phi"], np.float64)
+    phi_s = np.asarray(out_sh["phi"], np.float64)
+    phi_r -= phi_r.mean()
+    phi_s -= phi_s.mean()
+
+    ion_names = [i.name for i in S_ref.ion_list[:-1]]
+    fields = {}                       # name -> (sharded, ref, rtol, atol)
+    for j, name in enumerate(ion_names):          # each solved ion separately
+        fields[f"c_{name}"] = (out_sh["c"][j], out_ref["c"][j], 5e-4, 1e-7)
+    fields["c_elim"] = (out_sh["c_elim"], out_ref["c_elim"], 1e-4, 1e-7)
+    fields["phi"] = (phi_s, phi_r, 3e-4, 1e-8)
+    fields["phi_M"] = (out_sh["phi_M"], out_ref["phi_M"], 1e-4, 2e-6)
+
+    spreads = {k: rel_spread(a, b, atol)
+               for k, (a, b, _, atol) in fields.items()}
+    print("sharded-EMIx per-field max rel spreads:",
+          {k: f"{v:.2e}" for k, v in spreads.items()})
+    for name, (a, b, rtol, atol) in fields.items():
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=rtol, atol=atol, err_msg=name)
 
 
 def _build_mixed(degree_emi=1, degree_knp=2):

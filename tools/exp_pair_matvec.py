@@ -186,6 +186,88 @@ def main():
     timed("bell_matvec (K=5, cells)", lambda v: bell_matvec(bj, nbrj, v))
     timed("pair matvec (prototype)", pair_matvec)
 
+    # ---- NATIVE pair layout (VERDICT r3 item 3): the Krylov vector LIVES
+    # as (2nd, npair); no cell<->pair conversion per apply.  This measures
+    # what a full mesh-build-time relayout would actually pay per matvec.
+    # (a) per-slot external gather: same Smax*npair indices as above, but
+    #     indices point into the pair axis (column = pid of the ext cell).
+    ext_pid = pid[ext_idx]                        # (Smax, npair)
+    ext_pos = pos[ext_idx]                        # which half of that pair
+    # gather from xp viewed as (nd, 2*npair): column = pos*npair + pid
+    ext_col = (ext_pos.astype(np.int64) * npair + ext_pid).astype(np.int32)
+    ecj = jnp.asarray(ext_col)
+
+    def pair_matvec_native(xp):                   # (2nd, npair)
+        y = jnp.einsum("ijp,jp->ip", dgj, xp)
+        xv = jnp.concatenate([xp[:nd], xp[nd:]], axis=1)     # (nd, 2*npair)
+        xe = xv.at[:, ecj].get(mode="promise_in_bounds")     # (nd,S,np)
+        return y + jnp.einsum("sijp,jsp->ip", ebj, xe)
+
+    # (b) pair-granular dedup: gather each distinct external PAIR once
+    #     (both halves ride along -- payload is ~free, indices cost), then
+    #     blocks address the (2nd) pair vector directly.
+    ext_pairs = [sorted({int(ext_pid[s, p]) for s in range(len(ext_sets[p]))})
+                 for p in range(npair)]
+    Pmax = max(len(e) for e in ext_pairs)
+    n_pair_idx = sum(len(e) for e in ext_pairs)
+    print(f"# dedup external PAIR indices: max {Pmax}/pair, total "
+          f"{n_pair_idx} (vs {Smax * npair} slot indices)", flush=True)
+    ext_qid = np.zeros((Pmax, npair), dtype=np.int32)
+    eblk2 = np.zeros((Pmax, 2 * nd, 2 * nd, npair), dtype=np.float32)
+    for p, (a, b) in enumerate(pairs):
+        lut = {q: j for j, q in enumerate(ext_pairs[p])}
+        for q, j in lut.items():
+            ext_qid[j, p] = q
+        for j in range(len(ext_pairs[p]), Pmax):
+            ext_qid[j, p] = p                     # self, zero block
+        for s, (rc, cc) in enumerate(ext_sets[p]):
+            row = 0 if rc == a else 1
+            j = lut[int(pid[cc])]
+            col = int(pos[cc])
+            blk = find_block(rc, cc)
+            eblk2[j, row * nd:(row + 1) * nd, col * nd:(col + 1) * nd, p] = blk
+    eqj = jnp.asarray(ext_qid)
+    eb2j = jnp.asarray(eblk2)
+
+    def pair_matvec_dedup(xp):                    # (2nd, npair)
+        y = jnp.einsum("ijp,jp->ip", dgj, xp)
+        xe = xp.at[:, eqj].get(mode="promise_in_bounds")     # (2nd,P,np)
+        return y + jnp.einsum("sijp,jsp->ip", eb2j, xe)
+
+    # parity of both native forms (convert once outside the timed loop)
+    xg = x[:, coj.reshape(-1)].reshape(nd, 2, npair)
+    xp0 = jnp.concatenate([xg[:, 0], xg[:, 1]], axis=0)
+    for name, fn in (("native", pair_matvec_native),
+                     ("dedup", pair_matvec_dedup)):
+        yp = jax.jit(fn)(xp0)
+        y0, y1 = yp[:nd], yp[nd:]
+        back = jnp.zeros_like(x)
+        back = back.at[:, coj[0]].add(y0)
+        back = back.at[:, coj[1]].add(y1 * (1.0 - singles)[None, :])
+        err = float(jnp.abs(back - y_ref).max() / jnp.abs(y_ref).max())
+        print(f"# {name} parity max rel err: {err:.2e}", flush=True)
+
+    def timed_p(name, fn, reps=60):
+        @jax.jit
+        def loop(v):
+            return jax.lax.fori_loop(0, reps, lambda i, u: fn(u) * 1e-3, v)
+        r = loop(xp0); float(np.asarray(r).ravel()[0])
+        t0 = time.perf_counter(); r = loop(xp0)
+        float(np.asarray(r).ravel()[0])
+        t1 = (time.perf_counter() - t0)
+        @jax.jit
+        def loop2(v):
+            return jax.lax.fori_loop(0, reps * 3, lambda i, u: fn(u) * 1e-3, v)
+        r = loop2(xp0); float(np.asarray(r).ravel()[0])
+        t0 = time.perf_counter(); r = loop2(xp0)
+        float(np.asarray(r).ravel()[0])
+        t2 = (time.perf_counter() - t0)
+        per = (t2 - t1) / (2 * reps)
+        print(f"{name:28s} {per*1e3:7.3f} ms/apply", flush=True)
+
+    timed_p("pair matvec (native layout)", pair_matvec_native)
+    timed_p("pair matvec (native dedup)", pair_matvec_dedup)
+
 
 if __name__ == "__main__":
     main()
