@@ -1,0 +1,344 @@
+"""Pair-block operator layout: 2-cell macro rows for the Krylov hot path.
+
+TPU random gather costs ~2.4 ns per INDEX, independent of payload width
+up to >= 64 B -- the block-ELL matvec's neighbor gather (4 slots x nc =
+486k indices on the EMIx mesh) is the single most expensive operation in
+every Krylov iteration.  Fusing face-adjacent cell pairs into (2*nd)-row
+macro blocks moves the pair-internal coupling into the (gather-free)
+diagonal block and cuts the external gather to <= 2d slots per PAIR
+(<= 6 x 63k = 378k indices): measured 0.856 vs 1.327 ms/apply (-35.5%)
+on the EMIx mesh (tools/exp_pair_matvec.py, round 4).  As a bonus the
+pair-diagonal block-Jacobi smoother sees the intra-pair coupling.
+
+Design (round 4): the pair layout is an OPERATOR format, not a field
+format.  All fields/rhs stay cell-indexed (nd, nc); the iterative solves
+convert their vectors once per solve (two ~0.3 ms gathers), run every
+Krylov iteration in (2*nd, npair), and convert the solution back.  The
+assembly emits pair blocks directly from the same per-facet block
+tensors (gather count ~equal to the cell-ELL emitter), so there is no
+per-step format conversion.  Replaces nothing in the reference -- this
+is a TPU-specific bandwidth optimization (the reference's PETSc AIJ has
+no analog; closest is BAIJ blocking, PETSc manual ch. 3).
+
+Matching: greedy first-fit over the Morton cell order, restricted to
+SAME-TAG neighbors so every pair lives inside one compartment (keeps the
+compartment deflation's pair-column sums exact).  Unmatched cells become
+self-pairs whose second half is dead: identity diagonal, zero rhs/x0 --
+the same inert-slot convention parallel/sharding.pad_cell_axis uses.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_pair_maps(geom) -> Dict[str, np.ndarray]:
+    """Host-side pair maps from a fem.tabulation.Geometry (numpy, pre-
+    to_device).  Returns a dict of numpy arrays; ship to device with
+    :func:`pair_maps_to_device`.
+
+    Keys:
+      cop      (2, npair) int32   cells of pair (self-pair: both equal)
+      pid      (nc,)      int32   pair id of cell
+      pos      (nc,)      int32   half index of cell within its pair
+      live1    (npair,)   bool    second half is a real cell
+      int_f    (npair,)   int32   internal facet id (dummy nf for self)
+      int_p0   (npair,)   bool    cell0 is the PLUS side of int_f
+      ext_f    (S, npair) int32   external facet ids (dummy nf), S = 2d
+      ext_isp  (S, npair) bool    owner cell is the PLUS side
+      ext_h    (S, npair) int32   owner half (0/1)
+      ext_col  (S, npair) int32   gather column pos*npair + pid of the
+                                  external cell (dummy -> own pair)
+      cell_col (nc,)      int32   pos*npair + pid of each cell (for the
+                                  pair->cell conversion gather)
+    """
+    nbr = np.asarray(geom.nbr)                     # (nc, d+2), col 0 = self
+    cf = np.asarray(geom.cf_idx)                   # (nc, d+1)
+    isp = np.asarray(geom.cf_is_plus)              # (nc, d+1)
+    tag = np.asarray(geom.cell_tag)
+    nc, K1 = cf.shape                              # K1 = d+1 local facets
+    nf = int(np.asarray(geom.f_cp).shape[0]) - 1   # dummy facet index
+
+    # --- greedy same-tag matching over the (Morton) cell order ----------
+    mate = np.full(nc, -1, dtype=np.int64)
+    order_nbr = nbr[:, 1:]                         # (nc, d+1)
+    for c in range(nc):
+        if mate[c] >= 0:
+            continue
+        tc = tag[c]
+        for o in order_nbr[c]:
+            if o != c and o > c and mate[o] < 0 and tag[o] == tc:
+                mate[c] = o
+                mate[o] = c
+                break
+        else:
+            mate[c] = c                            # self-pair
+
+    first = np.flatnonzero(mate >= np.arange(nc))  # representative cells
+    # (c <= mate[c]: matched pairs keyed by the lower id, self-pairs by c)
+    c0 = first
+    c1 = mate[first]
+    npair = len(first)
+    cop = np.stack([c0, c1]).astype(np.int32)
+    live1 = c1 != c0
+    pid = np.empty(nc, dtype=np.int32)
+    pos = np.empty(nc, dtype=np.int32)
+    # c1 first, c0 second: a self-pair (c1 == c0) must end at pos 0
+    pid[c1] = np.arange(npair)
+    pos[c1] = 1
+    pid[c0] = np.arange(npair)
+    pos[c0] = 0
+
+    # --- internal facet of each matched pair -----------------------------
+    int_f = np.full(npair, nf, dtype=np.int32)
+    int_p0 = np.zeros(npair, dtype=bool)
+    for l in range(K1):
+        hit = live1 & (order_nbr[c0, l] == c1) & (int_f == nf)
+        int_f[hit] = cf[c0[hit], l]
+        int_p0[hit] = isp[c0[hit], l]
+
+    # --- external slots: fixed (h, l) scan order, compacted per pair -----
+    d = K1 - 1
+    S = 2 * d
+    ext_f = np.full((S, npair), nf, dtype=np.int32)
+    ext_isp = np.zeros((S, npair), dtype=bool)
+    ext_h = np.zeros((S, npair), dtype=np.int32)
+    ext_other = np.tile(c0, (S, 1))                # dummy -> own cell
+    fill = np.zeros(npair, dtype=np.int64)
+    for h, ch in enumerate((c0, c1)):
+        hlive = live1 if h == 1 else np.ones(npair, dtype=bool)
+        for l in range(K1):
+            f = cf[ch, l]
+            other = order_nbr[ch, l]
+            real = hlive & (f != nf) & (other != ch) & (other != (c1 if h == 0 else c0))
+            idx = np.flatnonzero(real)
+            s = fill[idx]
+            assert s.max(initial=0) < S, "more external facets than slots"
+            ext_f[s, idx] = f[idx]
+            ext_isp[s, idx] = isp[ch[idx], l]
+            ext_h[s, idx] = h
+            ext_other[s, idx] = other[idx]
+            fill[idx] += 1
+
+    ext_col = (pos[ext_other].astype(np.int64) * npair
+               + pid[ext_other]).astype(np.int32)
+    cell_col = (pos.astype(np.int64) * npair + pid).astype(np.int32)
+
+    return {
+        "cop": cop, "pid": pid, "pos": pos, "live1": live1,
+        "int_f": int_f, "int_p0": int_p0,
+        "ext_f": ext_f, "ext_isp": ext_isp, "ext_h": ext_h,
+        "ext_col": ext_col, "cell_col": cell_col,
+    }
+
+
+def pair_maps_to_device(pm: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    out = {}
+    for k, v in pm.items():
+        out[k] = jnp.asarray(v) if v.dtype == bool else jnp.asarray(
+            v, dtype=jnp.int32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# vector conversions (once per SOLVE, not per apply)
+# ---------------------------------------------------------------------------
+
+def to_pair(pm, x):
+    """(..., nd, nc) -> (..., 2*nd, npair); dead halves zeroed."""
+    xg = x[..., :, pm["cop"]]                       # (..., nd, 2, npair)
+    h1 = xg[..., :, 1, :] * pm["live1"].astype(x.dtype)
+    return jnp.concatenate([xg[..., :, 0, :], h1], axis=-2)
+
+
+def from_pair(pm, xp):
+    """(..., 2*nd, npair) -> (..., nd, nc) (reads each cell's live half)."""
+    nd2 = xp.shape[-2]
+    nd = nd2 // 2
+    npair = xp.shape[-1]
+    xv = jnp.concatenate([xp[..., :nd, :], xp[..., nd:, :]], axis=-1)
+    return xv.at[..., :, pm["cell_col"]].get(mode="promise_in_bounds")
+
+
+# ---------------------------------------------------------------------------
+# pair matvecs
+# ---------------------------------------------------------------------------
+
+def pair_matvec(pd, pe, pm, xp):
+    """y = A_pair @ xp.  pd (2nd, 2nd, npair); pe (S, 2nd, nd, npair);
+    xp (2nd, npair).  One external gather of S*npair indices."""
+    nd = pe.shape[2]
+    y = jnp.einsum("ijp,jp->ip", pd, xp)
+    xv = jnp.concatenate([xp[:nd], xp[nd:]], axis=1)      # (nd, 2*npair)
+    xe = xv.at[:, pm["ext_col"]].get(mode="promise_in_bounds")
+    return y + jnp.einsum("sijp,jsp->ip", pe, xe)
+
+
+def pair_matvec_multi(pd, pe, pm, xp):
+    """Batched over m systems sharing ONE external gather.
+    pd (m, 2nd, 2nd, npair); pe (m, S, 2nd, nd, npair); xp (m, 2nd, npair)."""
+    m, nd2, npair = xp.shape
+    nd = nd2 // 2
+    y = jnp.einsum("mijp,mjp->mip", pd, xp)
+    xv = jnp.concatenate([xp[:, :nd], xp[:, nd:]], axis=2)
+    xv = xv.reshape(m * nd, 2 * npair)
+    xe = xv.at[:, pm["ext_col"]].get(mode="promise_in_bounds")
+    xe = xe.reshape(m, nd, *pm["ext_col"].shape)
+    return y + jnp.einsum("msijp,mjsp->mip", pe, xe)
+
+
+def pair_matvec_fan(pd, pe, pm, X):
+    """One operator applied to m vectors (moment/Ritz Galerkin builds):
+    X (m, 2nd, npair) -> (m, 2nd, npair), one shared external gather."""
+    m, nd2, npair = X.shape
+    nd = nd2 // 2
+    y = jnp.einsum("ijp,mjp->mip", pd, X)
+    xv = jnp.concatenate([X[:, :nd], X[:, nd:]], axis=2).reshape(
+        m * nd, 2 * npair)
+    xe = xv.at[:, pm["ext_col"]].get(mode="promise_in_bounds")
+    xe = xe.reshape(m, nd, *pm["ext_col"].shape)
+    return y + jnp.einsum("sijp,mjsp->mip", pe, xe)
+
+
+# ---------------------------------------------------------------------------
+# pair-ELL assembly emitters (mirror ops.assembly.gather_blocks)
+# ---------------------------------------------------------------------------
+
+def gather_blocks_pair(g, pm, A_cell, Mpp, Mpm, Mmp, Mmm,
+                       dead_identity: float = 1.0):
+    """Assemble the pair-block operator from per-facet blocks.
+
+    Same inputs as ops.assembly.gather_blocks plus the pair maps; returns
+    (pd (2nd, 2nd, npair), pe (S, 2nd, nd, npair)).  Gather budget:
+    nc (A_cell halves) + npair (internal facet) + S*npair (external) --
+    ~563k vs the cell emitter's 486k on the EMIx mesh; the savings are in
+    the per-ITERATION matvec (378k vs 486k indices), not here.
+
+    ``dead_identity``: value placed on the dead half's diagonal of
+    self-pairs (keeps the block-Jacobi inverse nonsingular; the dead
+    rows/rhs are zero so the Krylov iterates stay zero there, the same
+    invariant parallel/sharding's inert cell padding relies on)."""
+    nd = A_cell.shape[0]
+    nf1 = Mpp.shape[-1]
+    npair = pm["int_f"].shape[0]
+    M = jnp.stack([Mpp, Mmm, Mpm, Mmp]).reshape(4 * nd * nd, nf1)
+
+    live1 = pm["live1"].astype(A_cell.dtype)
+    A2 = A_cell.reshape(nd * nd, -1)
+    Ah = A2.at[:, pm["cop"]].get(mode="promise_in_bounds")  # (nd*nd, 2, np)
+    B00 = Ah[:, 0].reshape(nd, nd, npair)
+    B11 = Ah[:, 1].reshape(nd, nd, npair) * live1
+
+    gi = M.at[:, pm["int_f"]].get(mode="promise_in_bounds")
+    gi = gi.reshape(4, nd, nd, npair)
+    p0 = pm["int_p0"][None, None, :]
+    B00 = B00 + jnp.where(p0, gi[0], gi[1])
+    B11 = B11 + jnp.where(p0, gi[1], gi[0])
+    B01 = jnp.where(p0, gi[2], gi[3])
+    B10 = jnp.where(p0, gi[3], gi[2])
+
+    pes = []
+    for s in range(pm["ext_f"].shape[0]):
+        gs = M.at[:, pm["ext_f"][s]].get(mode="promise_in_bounds")
+        gs = gs.reshape(4, nd, nd, npair)
+        sel = pm["ext_isp"][s][None, None, :]
+        dg = jnp.where(sel, gs[0], gs[1])
+        off = jnp.where(sel, gs[2], gs[3])
+        h0 = (pm["ext_h"][s] == 0)[None, None, :]
+        B00 = B00 + jnp.where(h0, dg, 0.0)
+        B11 = B11 + jnp.where(h0, 0.0, dg)
+        pes.append(jnp.concatenate([jnp.where(h0, off, 0.0),
+                                    jnp.where(h0, 0.0, off)], axis=0))
+
+    eye = jnp.eye(nd, dtype=A_cell.dtype)[:, :, None]
+    B11 = B11 + eye * (dead_identity * (1.0 - live1))
+    pd = jnp.concatenate(
+        [jnp.concatenate([B00, B01], axis=1),
+         jnp.concatenate([B10, B11], axis=1)], axis=0)
+    return pd, jnp.stack(pes)
+
+
+def gather_blocks_pair_multi(g, pm, A_cell, Mpp, Mpm, Mmp, Mmm,
+                             dead_identity: float = 1.0):
+    """Batched emitter: leading m (ion) axis on every input; all m systems
+    share each gather (payload rides free).  A_cell (m, nd, nd, nc),
+    M** (m, nd, nd, nf+1) -> pd (m, 2nd, 2nd, np), pe (m, S, 2nd, nd, np)."""
+    m, nd = A_cell.shape[0], A_cell.shape[1]
+    nf1 = Mpp.shape[-1]
+    npair = pm["int_f"].shape[0]
+    M = jnp.stack([Mpp, Mmm, Mpm, Mmp], axis=1).reshape(
+        m * 4 * nd * nd, nf1)
+
+    live1 = pm["live1"].astype(A_cell.dtype)
+    A2 = A_cell.reshape(m * nd * nd, -1)
+    Ah = A2.at[:, pm["cop"]].get(mode="promise_in_bounds")
+    Ah = Ah.reshape(m, nd, nd, 2, npair)
+    B00 = Ah[..., 0, :]
+    B11 = Ah[..., 1, :] * live1
+
+    gi = M.at[:, pm["int_f"]].get(mode="promise_in_bounds")
+    gi = gi.reshape(m, 4, nd, nd, npair)
+    p0 = pm["int_p0"][None, None, None, :]
+    B00 = B00 + jnp.where(p0, gi[:, 0], gi[:, 1])
+    B11 = B11 + jnp.where(p0, gi[:, 1], gi[:, 0])
+    B01 = jnp.where(p0, gi[:, 2], gi[:, 3])
+    B10 = jnp.where(p0, gi[:, 3], gi[:, 2])
+
+    pes = []
+    for s in range(pm["ext_f"].shape[0]):
+        gs = M.at[:, pm["ext_f"][s]].get(mode="promise_in_bounds")
+        gs = gs.reshape(m, 4, nd, nd, npair)
+        sel = pm["ext_isp"][s][None, None, None, :]
+        dg = jnp.where(sel, gs[:, 0], gs[:, 1])
+        off = jnp.where(sel, gs[:, 2], gs[:, 3])
+        h0 = (pm["ext_h"][s] == 0)[None, None, None, :]
+        B00 = B00 + jnp.where(h0, dg, 0.0)
+        B11 = B11 + jnp.where(h0, 0.0, dg)
+        pes.append(jnp.concatenate([jnp.where(h0, off, 0.0),
+                                    jnp.where(h0, 0.0, off)], axis=1))
+
+    eye = jnp.eye(nd, dtype=A_cell.dtype)[None, :, :, None]
+    B11 = B11 + eye * (dead_identity * (1.0 - live1))
+    pd = jnp.concatenate(
+        [jnp.concatenate([B00, B01], axis=2),
+         jnp.concatenate([B10, B11], axis=2)], axis=1)
+    return pd, jnp.stack(pes, axis=1)
+
+
+def pair_block_diag_embed(pm, D_cell, dead_identity: float = 0.0):
+    """Embed per-cell (nd, nd, nc) diagonal blocks into the pair diagonal
+    (2nd, 2nd, npair) -- zero off-halves.  Used for the EMI mass
+    regularization (P_diag - blocks[0]) and any per-cell diag payload."""
+    nd = D_cell.shape[0]
+    npair = pm["int_f"].shape[0]
+    live1 = pm["live1"].astype(D_cell.dtype)
+    A2 = D_cell.reshape(nd * nd, -1)
+    Ah = A2.at[:, pm["cop"]].get(mode="promise_in_bounds")
+    B00 = Ah[:, 0].reshape(nd, nd, npair)
+    B11 = Ah[:, 1].reshape(nd, nd, npair) * live1
+    eye = jnp.eye(nd, dtype=D_cell.dtype)[:, :, None]
+    B11 = B11 + eye * (dead_identity * (1.0 - live1))
+    z = jnp.zeros_like(B00)
+    return jnp.concatenate(
+        [jnp.concatenate([B00, z], axis=1),
+         jnp.concatenate([z, B11], axis=1)], axis=0)
+
+
+def pair_v_sums(pd, pe):
+    """Block value sums in the (K, nc)-convention build_two_level consumes:
+    slot 0 = pair diagonal, slots 1.. = external.  Returns (1+S, npair)."""
+    v0 = pd.sum(axis=(0, 1))
+    vs = pe.sum(axis=(1, 2))
+    return jnp.concatenate([v0[None], vs], axis=0)
+
+
+def pair_nbr(pm):
+    """(1+S, npair) neighbor-PAIR table (slot 0 = self) for
+    build_two_level's chunk-crossing detection."""
+    self_row = jnp.arange(pm["int_f"].shape[0], dtype=jnp.int32)[None]
+    ext_pid = pm["ext_col"] % pm["int_f"].shape[0]
+    return jnp.concatenate([self_row, ext_pid], axis=0)

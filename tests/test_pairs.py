@@ -1,0 +1,169 @@
+"""Pair-block operator layout (ops/pairs.py): structural invariants and
+exact parity against the cell block-ELL emitter/matvec.
+
+The pair layout is a pure re-blocking of the same operator -- every test
+here asserts EXACT (f64) agreement, not tolerance agreement."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from knpemidg_tpu.mesh.core import build_mesh
+from knpemidg_tpu.mesh.generators import mms_square, box_3d_axons
+from knpemidg_tpu.fem.tabulation import build_geometry
+from knpemidg_tpu.ops import pairs as P
+from knpemidg_tpu.ops.assembly import gather_blocks
+from knpemidg_tpu.ops.spmv import bell_matvec
+
+
+def _setups():
+    out = []
+    m2 = mms_square(8)
+    out.append(("2d", m2, build_geometry(m2)))
+    m3 = box_3d_axons(0)
+    out.append(("3d", m3, build_geometry(m3)))
+    return out
+
+
+SETUPS = _setups()
+
+
+def _rand_blocks(geom, rng, m=None):
+    nd = geom.nd
+    nf1 = geom.f_cp.shape[0]
+    nc = geom.vol.shape[0]
+    shape_f = (nd, nd, nf1) if m is None else (m, nd, nd, nf1)
+    shape_c = (nd, nd, nc) if m is None else (m, nd, nd, nc)
+    Ms = []
+    for _ in range(4):
+        M = rng.standard_normal(shape_f)
+        M[..., -1] = 0.0                    # dummy facet row must be zero
+        Ms.append(jnp.asarray(M))
+    A_cell = jnp.asarray(rng.standard_normal(shape_c))
+    return A_cell, Ms
+
+
+@pytest.mark.parametrize("name,mesh,geom", SETUPS, ids=[s[0] for s in SETUPS])
+def test_pair_map_invariants(name, mesh, geom):
+    pm = P.build_pair_maps(geom)
+    nc = geom.vol.shape[0]
+    nf = geom.f_cp.shape[0] - 1
+    npair = pm["cop"].shape[1]
+    c0, c1 = pm["cop"]
+
+    # pid/pos are a bijection onto live pair halves
+    assert np.array_equal(pm["cop"][pm["pos"], pm["pid"]], np.arange(nc))
+    # matched pairs share a compartment tag
+    tags = np.asarray(geom.cell_tag)
+    live = pm["live1"]
+    assert np.array_equal(tags[c0[live]], tags[c1[live]])
+    # matched pairs are face-adjacent via their internal facet
+    f_cp, f_cm = np.asarray(geom.f_cp), np.asarray(geom.f_cm)
+    ia, ib = f_cp[pm["int_f"][live]], f_cm[pm["int_f"][live]]
+    assert np.array_equal(np.sort(np.stack([ia, ib]), axis=0),
+                          np.sort(np.stack([c0[live], c1[live]]), axis=0))
+    assert np.all(pm["int_f"][~live] == nf)
+    # every interior facet's two cell-sides are accounted for exactly once:
+    # internal facets cover both sides, external slots cover one each
+    n_int = int(live.sum())
+    n_ext = int((pm["ext_f"] != nf).sum())
+    assert 2 * n_int + n_ext == 2 * nf
+    # a healthy matching rate (Morton-greedy: >90% on these meshes)
+    assert live.mean() > 0.75, f"match rate {live.mean():.2f}"
+    # ext gather columns are in range and dummies point at the own pair
+    assert pm["ext_col"].max() < 2 * npair
+    dummy = pm["ext_f"] == nf
+    assert np.array_equal(pm["ext_col"][dummy] % npair,
+                          np.broadcast_to(np.arange(npair), dummy.shape)[dummy])
+
+
+@pytest.mark.parametrize("name,mesh,geom", SETUPS, ids=[s[0] for s in SETUPS])
+def test_conversion_roundtrip(name, mesh, geom):
+    pm = P.pair_maps_to_device(P.build_pair_maps(geom))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((geom.nd, geom.vol.shape[0])))
+    xp = P.to_pair(pm, x)
+    assert xp.shape == (2 * geom.nd, pm["int_f"].shape[0])
+    np.testing.assert_array_equal(np.asarray(P.from_pair(pm, xp)),
+                                  np.asarray(x))
+    # dead halves are zero
+    dead = ~np.asarray(pm["live1"])
+    assert np.all(np.asarray(xp)[geom.nd:, dead] == 0.0)
+
+
+@pytest.mark.parametrize("name,mesh,geom", SETUPS, ids=[s[0] for s in SETUPS])
+def test_pair_matvec_parity(name, mesh, geom):
+    pmh = P.build_pair_maps(geom)
+    pm = P.pair_maps_to_device(pmh)
+    rng = np.random.default_rng(1)
+    A_cell, (Mpp, Mmm, Mpm, Mmp) = _rand_blocks(geom, rng)
+    g = geom.to_device()
+
+    blocks = gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
+    x = jnp.asarray(rng.standard_normal((geom.nd, geom.vol.shape[0])))
+    y_ref = bell_matvec(blocks, g["nbr"], x)
+
+    pd, pe = P.gather_blocks_pair(g, pm, A_cell, Mpp, Mpm, Mmp, Mmm)
+    yp = P.pair_matvec(pd, pe, pm, P.to_pair(pm, x))
+    y = P.from_pair(pm, yp)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-12, atol=1e-12)
+    # dead halves of the OUTPUT stay dead-identity * 0 = 0
+    dead = ~np.asarray(pm["live1"])
+    assert np.allclose(np.asarray(yp)[geom.nd:, dead], 0.0)
+
+
+@pytest.mark.parametrize("name,mesh,geom", SETUPS, ids=[s[0] for s in SETUPS])
+def test_pair_matvec_multi_and_fan_parity(name, mesh, geom):
+    pmh = P.build_pair_maps(geom)
+    pm = P.pair_maps_to_device(pmh)
+    rng = np.random.default_rng(2)
+    m = 3
+    A_cell, (Mpp, Mmm, Mpm, Mmp) = _rand_blocks(geom, rng, m=m)
+    g = geom.to_device()
+
+    pd, pe = P.gather_blocks_pair_multi(g, pm, A_cell, Mpp, Mpm, Mmp, Mmm)
+    X = jnp.asarray(rng.standard_normal((m, geom.nd, geom.vol.shape[0])))
+    Xp = P.to_pair(pm, X)
+    Yp = P.pair_matvec_multi(pd, pe, pm, Xp)
+    for k in range(m):
+        blocks_k = gather_blocks(g, A_cell[k], Mpp[k], Mpm[k], Mmp[k],
+                                 Mmm[k])
+        y_ref = bell_matvec(blocks_k, g["nbr"], X[k])
+        np.testing.assert_allclose(np.asarray(P.from_pair(pm, Yp[k])),
+                                   np.asarray(y_ref), rtol=1e-12, atol=1e-12)
+        # fan: one operator (k=0) applied to all vectors
+        pd0, pe0 = P.gather_blocks_pair(g, pm, A_cell[0], Mpp[0], Mpm[0],
+                                        Mmp[0], Mmm[0])
+        Yf = P.pair_matvec_fan(pd0, pe0, pm, Xp)
+        blocks_0 = gather_blocks(g, A_cell[0], Mpp[0], Mpm[0], Mmp[0], Mmm[0])
+        np.testing.assert_allclose(
+            np.asarray(P.from_pair(pm, Yf[k])),
+            np.asarray(bell_matvec(blocks_0, g["nbr"], X[k])),
+            rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("name,mesh,geom", SETUPS, ids=[s[0] for s in SETUPS])
+def test_block_diag_embed_and_vsums(name, mesh, geom):
+    pmh = P.build_pair_maps(geom)
+    pm = P.pair_maps_to_device(pmh)
+    rng = np.random.default_rng(3)
+    nd, nc = geom.nd, geom.vol.shape[0]
+    D = jnp.asarray(rng.standard_normal((nd, nd, nc)))
+    pdD = P.pair_block_diag_embed(pm, D)
+    x = jnp.asarray(rng.standard_normal((nd, nc)))
+    y = P.from_pair(pm, jnp.einsum("ijp,jp->ip", pdD, P.to_pair(pm, x)))
+    y_ref = jnp.einsum("ijc,jc->ic", D, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-12, atol=1e-12)
+
+    # value sums match the cell operator's total (dead identity excluded)
+    A_cell, (Mpp, Mmm, Mpm, Mmp) = _rand_blocks(geom, rng)
+    g = geom.to_device()
+    pd, pe = P.gather_blocks_pair(g, pm, A_cell, Mpp, Mpm, Mmp, Mmm,
+                                  dead_identity=0.0)
+    blocks = gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
+    v_pair = P.pair_v_sums(pd, pe)
+    np.testing.assert_allclose(float(v_pair.sum()),
+                               float(blocks.sum()), rtol=1e-10)
+    nb = P.pair_nbr(pm)
+    assert nb.shape == (1 + pm["ext_f"].shape[0], pm["int_f"].shape[0])
