@@ -139,6 +139,14 @@ class SolverParams:
     # convergence test (accuracy laundering), and the wall is a wash
     # anyway.  Kept as an option for future drift-aware refresh schemes.
     knp_ritz: int = 0
+    # pair-layout block-Jacobi scope: 'halves' (default) inverts the two
+    # per-cell blocks (the cell layout's smoother); 'full' inverts the
+    # whole (2nd x 2nd) pair diagonal including the intra-pair coupling.
+    # Measured on the EMIx window (tools/exp_pair_tune.py): the stronger
+    # 'full' smoother UNBALANCES the additive two-level sum -- EMI 305 /
+    # KNP 434 window iters vs 'halves' 264 / 410 (cell layout: 293 /
+    # 369), walls 155.5 vs 148.0 ms/step.
+    pair_bj: str = "halves"
     # rebuild the frozen preconditioner every N steps (0 = freeze at t0).
     # The coarse/deflation Galerkin data drifts with the concentrations;
     # refresh bounds that drift on long runs (hundreds of steps).  NOTE the

@@ -37,6 +37,35 @@ import jax.numpy as jnp
 # small helpers
 # ---------------------------------------------------------------------------
 
+def _wsum_outer(w, coef, R_v, R_u):
+    """sum_q w[q] * coef[q, f] * R_v[q, i, f] * R_u[q, j, f] -> (nd, nd, nf)
+    with EVERY intermediate facet-last.
+
+    The einsum formulation ("q,qf,qif,qjf->ijf") lowers to a dot_general
+    contracting q whose operands XLA copies into (q, nf, nd) layouts: the
+    trailing nd=4 axis pads to 128 lanes under TPU tiling (42.7x memory
+    expansion), which OOMs the compile at ~2M facets (ROADMAP round-4
+    item 9; 3.76 GB per operand copy on the 995k-tet bundle).  Unrolling
+    the small static quadrature axis keeps everything (nd, nd, nf) /
+    (nd, nf) -- same flops, ~1x padding."""
+    acc = None
+    for q in range(R_v.shape[0]):
+        c = w[q] if coef is None else (w[q] * coef[q])[None, None, :]
+        t = c * (R_v[q][:, None, :] * R_u[q][None, :, :])
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _wsum_vec(w, coef, R_v):
+    """sum_q w[q] * coef[q, f] * R_v[q, i, f] -> (nd, nf), facet-last
+    (see _wsum_outer for why not einsum)."""
+    acc = None
+    for q in range(R_v.shape[0]):
+        t = (w[q] * coef[q])[None, :] * R_v[q]
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def precompute_static(g):
     """Extend the geometry dict with mesh-static assembly tensors so the
     per-step assemblies are coefficient broadcasts instead of re-contracted
@@ -61,10 +90,10 @@ def precompute_static(g):
         g["gnp"] = g["f_gnp"]                # (nq, nd, nf+1), tabulated
         g["gnm"] = g["f_gnm"]
     w, Rp, Rm = g["w_f"], g["f_Rp"], g["f_Rm"]
-    g["E_pp"] = jnp.einsum("q,qif,qjf->ijf", w, Rp, Rp)
-    g["E_pm"] = jnp.einsum("q,qif,qjf->ijf", w, Rp, Rm)
-    g["E_mp"] = jnp.einsum("q,qif,qjf->ijf", w, Rm, Rp)
-    g["E_mm"] = jnp.einsum("q,qif,qjf->ijf", w, Rm, Rm)
+    g["E_pp"] = _wsum_outer(w, None, Rp, Rp)
+    g["E_pm"] = _wsum_outer(w, None, Rp, Rm)
+    g["E_mp"] = _wsum_outer(w, None, Rm, Rp)
+    g["E_mm"] = _wsum_outer(w, None, Rm, Rm)
     g["M0"] = jnp.einsum("q,qi,qj->ij", g["w_c"], g["Phi_c"], g["Phi_c"])
     g["phibar"] = jnp.einsum("q,qj->j", g["w_c"], g["Phi_c"])
     return g
@@ -109,7 +138,7 @@ def _E(g, vu):
     w = g["w_f"]
     Rv = g["f_Rp"] if vu[0] == "p" else g["f_Rm"]
     Ru = g["f_Rp"] if vu[1] == "p" else g["f_Rm"]
-    return jnp.einsum("q,qif,qjf->ijf", w, Rv, Ru)
+    return _wsum_outer(w, None, Rv, Ru)
 
 
 def facet_trace(g, u, side: str):
@@ -183,9 +212,8 @@ def _sip_blocks(g, kp, km, gnp, gnm, tau_over_h, sip_mask, pen_p=None, pen_m=Non
     # -<avg(k grad u).n, [v]>
     def term1(sign_v, R_v, k_u, gn_u):
         if gn_u.ndim == 3:                    # degree >= 2: gn per qp
-            return sign_v * (-0.5) * area * jnp.einsum(
-                "q,qif,qf,qjf->ijf", w, R_v, k_u, gn_u)
-        s = jnp.einsum("q,qif,qf->if", w, R_v, k_u)          # (nd, nf)
+            return sign_v * (-0.5) * area * _wsum_outer(w, k_u, R_v, gn_u)
+        s = _wsum_vec(w, k_u, R_v)                           # (nd, nf)
         return sign_v * (-0.5) * area * s[:, None, :] * gn_u[None, :, :]
 
     t1_pp = term1(+1.0, Rp, kp, gnp)
@@ -203,7 +231,7 @@ def _sip_blocks(g, kp, km, gnp, gnm, tau_over_h, sip_mask, pen_p=None, pen_m=Non
     scale = tau_over_h * area
 
     def pen(R_v, sv, R_u, su, coef):
-        return (sv * su) * scale * jnp.einsum("q,qf,qif,qjf->ijf", w, coef, R_v, R_u)
+        return (sv * su) * scale * _wsum_outer(w, coef, R_v, R_u)
 
     t3_pp = pen(Rp, +1, Rp, +1, pen_p)
     t3_pm = pen(Rp, +1, Rm, -1, pen_m)
@@ -233,7 +261,7 @@ def _jump_jump_blocks(g, coef, mask):
     scale = g["f_area"]
 
     def blk(R_v, sv, R_u, su):
-        return (sv * su) * scale * jnp.einsum("q,qf,qif,qjf->ijf", w, coef, R_v, R_u)
+        return (sv * su) * scale * _wsum_outer(w, coef, R_v, R_u)
 
     m = mask[None, None, :]
     return (
@@ -249,8 +277,8 @@ def _test_integrals(g, vals_p, vals_m):
 
     vals_* (nq, nf+1) -> b_p, b_m (nd, nf+1).  The *caller* encodes signs."""
     w = g["w_f"]
-    b_p = g["f_area"] * jnp.einsum("q,qf,qif->if", w, vals_p, g["f_Rp"])
-    b_m = g["f_area"] * jnp.einsum("q,qf,qif->if", w, vals_m, g["f_Rm"])
+    b_p = g["f_area"] * _wsum_vec(w, vals_p, g["f_Rp"])
+    b_m = g["f_area"] * _wsum_vec(w, vals_m, g["f_Rm"])
     return b_p, b_m
 
 
@@ -270,9 +298,14 @@ def assemble_emi(
     t=None,
     gc: Optional[Dict[str, Any]] = None,
     mem_t: Optional[Dict[str, Any]] = None,
+    pm: Optional[Dict[str, Any]] = None,
 ):
     """Build EMI block-ELL operator, rhs, and block-Jacobi preconditioner
     diagonal (the regularized B operator, solver.py:376-401).
+
+    ``pm``: pair maps (ops.pairs.build_pair_maps) -- emit the PAIR-block
+    operator instead: returns ((pd, pe), rhs, P_diag_pair) where P_diag's
+    pair diagonal includes the intra-pair coupling (a stronger smoother).
 
     ``mem_t``: membrane-presliced tables (solver._set_membrane_tags); when
     given, the Robin membrane source (C_phi g JUMP(v), solver.py:332-344)
@@ -321,7 +354,11 @@ def assemble_emi(
     Cpp, Cpm, Cmp, Cmm = _jump_jump_blocks(g, cphi, mem)
     Mpp, Mpm, Mmp, Mmm = Mpp + Cpp, Mpm + Cpm, Mmp + Cmp, Mmm + Cmm
 
-    blocks = gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
+    if pm is not None:
+        from .pairs import gather_blocks_pair
+        blocks = gather_blocks_pair(g, pm, A_cell, Mpp, Mpm, Mmp, Mmm)
+    else:
+        blocks = gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
 
     # --- rhs: diffusive terms, all ions -------------------------------------
     # flux = sum_k z_k D_k grad(c_k) lives in the c space; the test-side
@@ -414,7 +451,13 @@ def assemble_emi(
         rhs = rhs.at[:, g["e_c"]].add(be)
 
     # --- preconditioner: diag blocks of B = A + kappa/Lp^2 mass --------------
-    P_diag = blocks[0] + (g["vol"] * kbar / phys["Lp"] ** 2) * _M0(g)[:, :, None]
+    reg = (g["vol"] * kbar / phys["Lp"] ** 2) * _M0(g)[:, :, None]
+    if pm is not None:
+        from .pairs import pair_block_diag_embed
+        pd, pe = blocks
+        P_diag = pd + pair_block_diag_embed(pm, reg)
+        return (pd, pe), rhs, P_diag
+    P_diag = blocks[0] + reg
 
     return blocks, rhs, P_diag
 
@@ -542,10 +585,10 @@ def assemble_knp(
         un_p = jnp.maximum(D[g["f_cp"]][None, :] * np_, 0.0)
         un_m = jnp.maximum(-D[g["f_cm"]][None, :] * nm_, 0.0)
         w, Rp, Rm = g["w_f"], g["f_Rp"], g["f_Rm"]
-        Mpp = scale * jnp.einsum("q,qf,qif,qjf->ijf", w, un_p, Rp, Rp)
-        Mpm = -scale * jnp.einsum("q,qf,qif,qjf->ijf", w, un_m, Rp, Rm)
-        Mmp = -scale * jnp.einsum("q,qf,qif,qjf->ijf", w, un_p, Rm, Rp)
-        Mmm = scale * jnp.einsum("q,qf,qif,qjf->ijf", w, un_m, Rm, Rm)
+        Mpp = scale * _wsum_outer(w, un_p, Rp, Rp)
+        Mpm = -scale * _wsum_outer(w, un_m, Rp, Rm)
+        Mmp = -scale * _wsum_outer(w, un_p, Rm, Rp)
+        Mmm = scale * _wsum_outer(w, un_m, Rm, Rm)
 
     blocks = static_blocks + gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
 
@@ -646,6 +689,7 @@ def assemble_knp_all(
     static_blocks: Optional[jnp.ndarray] = None,   # (m, K, nd, nd, nc)
     gp: Optional[Dict[str, Any]] = None,
     mem_t: Optional[Dict[str, Any]] = None,
+    pm: Optional[Dict[str, Any]] = None,
 ):
     """All solved ions' KNP operators + rhs in one pass with SHARED facet /
     membrane gathers (production degree-1 path; reference runs one
@@ -725,18 +769,31 @@ def assemble_knp_all(
     # --- batched block gather (one stacked gather per cell-facet slot) ------
     cf = g["cf_idx"]
     isp = g["cf_is_plus"]
-    Mstk = jnp.stack([Mpp, Mmm, Mpm, Mmp], axis=1).reshape(m * 4 * nd * nd, nf1)
-    diag = A_cell
-    offs = []
-    for l in range(cf.shape[0]):
-        sel = isp[l][None, None, None, :]
-        got = Mstk.at[:, cf[l]].get(mode="promise_in_bounds")
-        got = got.reshape(m, 4, nd, nd, -1)
-        diag = diag + jnp.where(sel, got[:, 0], got[:, 1])
-        offs.append(jnp.where(sel, got[:, 2], got[:, 3]))
-    blocks = jnp.stack([diag] + offs, axis=1)        # (m, K, nd, nd, nc)
-    if static_blocks is not None:
-        blocks = blocks + static_blocks
+    if pm is not None:
+        # pair-block emission: static_blocks must already be in pair form
+        # ((m, 2nd, 2nd, np), (m, S, 2nd, nd, np)) -- ops.pairs.
+        # cell_bell_to_pair converts the cached static operator at setup
+        from .pairs import gather_blocks_pair_multi
+        pdK, peK = gather_blocks_pair_multi(g, pm, A_cell, Mpp, Mpm, Mmp,
+                                            Mmm)
+        if static_blocks is not None:
+            pdK = pdK + static_blocks[0]
+            peK = peK + static_blocks[1]
+        blocks = (pdK, peK)
+    else:
+        Mstk = jnp.stack([Mpp, Mmm, Mpm, Mmp], axis=1).reshape(
+            m * 4 * nd * nd, nf1)
+        diag = A_cell
+        offs = []
+        for l in range(cf.shape[0]):
+            sel = isp[l][None, None, None, :]
+            got = Mstk.at[:, cf[l]].get(mode="promise_in_bounds")
+            got = got.reshape(m, 4, nd, nd, -1)
+            diag = diag + jnp.where(sel, got[:, 0], got[:, 1])
+            offs.append(jnp.where(sel, got[:, 2], got[:, 3]))
+        blocks = jnp.stack([diag] + offs, axis=1)    # (m, K, nd, nd, nc)
+        if static_blocks is not None:
+            blocks = blocks + static_blocks
 
     # --- rhs ----------------------------------------------------------------
     b_cell = (g["vol"] / dt) * jnp.einsum("ij,kjc->kic", M0, c_n)

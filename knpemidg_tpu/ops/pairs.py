@@ -101,12 +101,21 @@ def build_pair_maps(geom) -> Dict[str, np.ndarray]:
         int_f[hit] = cf[c0[hit], l]
         int_p0[hit] = isp[c0[hit], l]
 
+    # internal local-facet index per half (for cell-ELL -> pair conversion)
+    int_l = np.zeros((2, npair), dtype=np.int32)
+    for l in range(K1):
+        hit0 = live1 & (order_nbr[c0, l] == c1)
+        int_l[0][hit0] = l
+        hit1 = live1 & (order_nbr[c1, l] == c0)
+        int_l[1][hit1] = l
+
     # --- external slots: fixed (h, l) scan order, compacted per pair -----
     d = K1 - 1
     S = 2 * d
     ext_f = np.full((S, npair), nf, dtype=np.int32)
     ext_isp = np.zeros((S, npair), dtype=bool)
     ext_h = np.zeros((S, npair), dtype=np.int32)
+    ext_l = np.zeros((S, npair), dtype=np.int32)
     ext_other = np.tile(c0, (S, 1))                # dummy -> own cell
     fill = np.zeros(npair, dtype=np.int64)
     for h, ch in enumerate((c0, c1)):
@@ -121,6 +130,7 @@ def build_pair_maps(geom) -> Dict[str, np.ndarray]:
             ext_f[s, idx] = f[idx]
             ext_isp[s, idx] = isp[ch[idx], l]
             ext_h[s, idx] = h
+            ext_l[s, idx] = l
             ext_other[s, idx] = other[idx]
             fill[idx] += 1
 
@@ -130,17 +140,22 @@ def build_pair_maps(geom) -> Dict[str, np.ndarray]:
 
     return {
         "cop": cop, "pid": pid, "pos": pos, "live1": live1,
-        "int_f": int_f, "int_p0": int_p0,
+        "int_f": int_f, "int_p0": int_p0, "int_l": int_l,
         "ext_f": ext_f, "ext_isp": ext_isp, "ext_h": ext_h,
-        "ext_col": ext_col, "cell_col": cell_col,
+        "ext_l": ext_l, "ext_col": ext_col, "cell_col": cell_col,
+        "nf": np.int32(nf),
     }
 
 
 def pair_maps_to_device(pm: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
     out = {}
     for k, v in pm.items():
-        out[k] = jnp.asarray(v) if v.dtype == bool else jnp.asarray(
-            v, dtype=jnp.int32)
+        if np.ndim(v) == 0:
+            out[k] = jnp.int32(v)
+        elif v.dtype == bool:
+            out[k] = jnp.asarray(v)
+        else:
+            out[k] = jnp.asarray(v, dtype=jnp.int32)
     return out
 
 
@@ -342,3 +357,63 @@ def pair_nbr(pm):
     self_row = jnp.arange(pm["int_f"].shape[0], dtype=jnp.int32)[None]
     ext_pid = pm["ext_col"] % pm["int_f"].shape[0]
     return jnp.concatenate([self_row, ext_pid], axis=0)
+
+
+def cell_bell_to_pair(pm, blocks, dead_identity: float = 0.0):
+    """One-time cell block-ELL -> pair format conversion (used for the
+    cached STATIC KNP operator at setup; the per-step assemblies emit pair
+    format directly).  blocks (..., K, nd, nd, nc) with slot l+1 = local
+    facet l (the gather_blocks slot convention); leading axes broadcast.
+
+    (2 + S) gathers of npair indices each -- ~1.2 ms on the EMIx mesh,
+    acceptable once per setup, NOT per step."""
+    *lead, K, nd, _, nc = blocks.shape
+    npair = pm["int_f"].shape[0]
+    live1 = pm["live1"].astype(blocks.dtype)
+    c0, c1 = pm["cop"][0], pm["cop"][1]
+
+    B00 = blocks[..., 0, :, :, :][..., c0]
+    B11 = blocks[..., 0, :, :, :][..., c1] * live1
+
+    # flatten (K, nc) into one gather axis: column = l * nc + c
+    Bf = jnp.moveaxis(blocks, -4, -1)               # (..., nd, nd, nc, K)
+    Bf = jnp.swapaxes(Bf, -1, -2)                   # (..., nd, nd, K, nc)
+    Bf = Bf.reshape(*lead, nd, nd, K * nc)
+
+    def slot_at(l_arr, cells):                      # l_arr, cells (npair,)
+        col = (l_arr.astype(jnp.int32) + 1) * nc + cells
+        return Bf[..., col]                         # (..., nd, nd, npair)
+
+    B01 = slot_at(pm["int_l"][0], c0) * live1
+    B10 = slot_at(pm["int_l"][1], c1) * live1
+    eye = jnp.eye(nd, dtype=blocks.dtype)[:, :, None]
+    B11 = B11 + eye * (dead_identity * (1.0 - live1))
+    pd = jnp.concatenate(
+        [jnp.concatenate([B00, B01], axis=-2),
+         jnp.concatenate([B10, B11], axis=-2)], axis=-3)
+
+    pes = []
+    z = jnp.zeros((*lead, nd, nd, npair), dtype=blocks.dtype)
+    for s in range(pm["ext_f"].shape[0]):
+        owner = jnp.where(pm["ext_h"][s] == 0, c0, c1)
+        blk = slot_at(pm["ext_l"][s], owner)
+        # dummy slots point at the owner's own local facet 0 -- mask them
+        mask = (pm["ext_f"][s] != pm["nf"]).astype(blocks.dtype)
+        blk = blk * mask
+        h0 = (pm["ext_h"][s] == 0)
+        top = jnp.where(h0, blk, z)
+        bot = jnp.where(h0, z, blk)
+        pes.append(jnp.concatenate([top, bot], axis=-3))   # row halves
+    return pd, jnp.stack(pes, axis=-4)
+
+
+def mass_to_pair(pm, mass):
+    """(nc,) per-cell scalar -> (npair,) per-pair sum over live halves."""
+    c0, c1 = pm["cop"][0], pm["cop"][1]
+    return mass[c0] + mass[c1] * pm["live1"].astype(mass.dtype)
+
+
+def onehot_to_pair(pm, onehot):
+    """(n_comp, nc) compartment indicator -> (n_comp, npair).  Pairs are
+    same-tag by construction, hence same-compartment; take cell0's row."""
+    return onehot[:, pm["cop"][0]]

@@ -219,6 +219,11 @@ def shard_solver(S, mesh: DeviceMesh):
     ``attach_pc`` so the frozen preconditioner is built at padded shapes)."""
     from .halo import build_halo, halo_spmv_fn
 
+    if getattr(S, "pair_layout", False):
+        raise NotImplementedError(
+            "pair_layout + sharding: the pair matching must be redone per "
+            "shard (pairs must not straddle shard boundaries); disable the "
+            "pair layout before shard_solver (round-4 scope)")
     n = mesh.devices.size
     nc = S.n_cells
     S._invalidate_caches()

@@ -105,6 +105,8 @@ class Solver:
         self.stats = SolverStats()
         self.mem_models: Dict[int, Any] = {}
         self.splitting_scheme = True
+        self.pair_layout = False             # see enable_pair_layout
+        self.pairs = None
         self._jit_cache: Dict[Any, Any] = {}
         # serializes the aux-swap tracing trick in _jit: the swap mutates
         # `self` for the duration of a trace, which is re-entrant on one
@@ -155,6 +157,46 @@ class Solver:
         self.Lp = float(ext.max())
         if self.mms is not None:
             self._set_membrane_tags(list(self.mms.wall_tags))
+        return self
+
+    def enable_pair_layout(self):
+        """Switch the iterative Krylov path to the pair-block operator
+        layout (ops/pairs.py): 2-cell macro rows whose external neighbor
+        gather carries ~25% fewer indices (measured -35.5% per matvec on
+        the EMIx mesh) and whose block-Jacobi smoother sees the intra-pair
+        coupling.  Fields/rhs stay cell-indexed; each solve converts its
+        vectors once (two ~0.3 ms gathers).
+
+        Supported: degree_emi == degree_knp == 1, mms=None, unsharded.
+        Call AFTER setup_domain and BEFORE attach_pc (the frozen pc data
+        is layout-specific)."""
+        from .ops.pairs import build_pair_maps, pair_maps_to_device
+
+        assert self.degree == 1 and self.degree_knp == 1, \
+            "pair layout: degree-1 production path only"
+        assert self.mms is None, "pair layout: not for MMS verification"
+        assert getattr(self, "_halo_mv", None) is None, \
+            "pair layout: enable before/instead of sharding (round-4 scope)"
+        if self.pairs is None:
+            pmh = build_pair_maps(self.geom)
+            self.pairs_host = pmh
+            self.pairs = pair_maps_to_device(pmh)
+            npair = int(pmh["int_f"].shape[0])
+            live = np.ones((2, npair), dtype=bool)
+            live[1] = pmh["live1"]
+            mask = np.repeat(live, self.nd, axis=0)        # (2nd, npair)
+            self._pair_mask = jnp.asarray(mask)
+            # (2nd, 2nd, 1) mask selecting the two per-cell diagonal
+            # sub-blocks (the 'halves' pair_bj variant)
+            self._pair_bj_halves = jnp.asarray(
+                np.kron(np.eye(2), np.ones((self.nd, self.nd)))[:, :, None],
+                dtype=self.dtype)
+            self._pair_mass = jnp.asarray(
+                np.asarray(self.geom.vol)[pmh["cop"][0]]
+                + np.asarray(self.geom.vol)[pmh["cop"][1]] * pmh["live1"],
+                dtype=self.dtype)
+        self.pair_layout = True
+        self._invalidate_caches()
         return self
 
     def _set_membrane_tags(self, tags):
@@ -308,7 +350,8 @@ class Solver:
     def _all_c(self, c, c_elim):
         return jnp.concatenate([c, c_elim[None]], axis=0)
 
-    def _assemble_emi(self, c, c_elim, phi_M_pad, I_ch_tot_pad, t):
+    def _assemble_emi(self, c, c_elim, phi_M_pad, I_ch_tot_pad, t,
+                      pair: bool = False):
         ions = {"z": self.z, "D": self.D, "c": self._all_c(c, c_elim)}
         return assembly.assemble_emi(
             self.g, self.masks, ions, self._phys_emi(),
@@ -316,6 +359,7 @@ class Solver:
             splitting=self.splitting_scheme, mms=self.mms, t=t,
             gc=self._g_knp(),
             mem_t=getattr(self, "mem_dev", None),
+            pm=self.pairs if pair else None,
         )
 
     @staticmethod
@@ -423,7 +467,9 @@ class Solver:
                 _tmark[0] = now
 
         # ---- step I: EMI ------------------------------------------------
-        asm_emi = self._jit(("asm_emi", self.splitting_scheme), self._assemble_emi)
+        pair = self.pair_layout and not eager
+        asm_emi = self._jit(("asm_emi", self.splitting_scheme, pair),
+                            partial(self._assemble_emi, pair=pair))
         blocks, rhs, Pd = asm_emi(c, c_elim, phi_M_pad, I_ch_tot_pad, t)
         if eager:
             _phase("emi_assem", rhs)
@@ -522,7 +568,23 @@ class Solver:
         -> 11 iters measured on spike steps) -- but it overshoots at
         trajectory kinks, so the guess with the smaller initial residual
         is selected per solve (cost: one extra matvec)."""
-        mv = lambda v: self._matvec(blocks, v)
+        pair = isinstance(blocks, tuple)
+        if pair:
+            from .ops.pairs import pair_matvec, to_pair, from_pair
+
+            pm = self.pairs
+            pd_, pe_ = blocks
+            mv = lambda v: pair_matvec(pd_, pe_, pm, v)
+            # one stacked conversion gather for every cell-layout vector
+            stackc = [rhs, phi] + ([phi_prev] if phi_prev is not None else [])
+            sp_stack = to_pair(pm, jnp.stack(stackc))
+            rhs = sp_stack[0]
+            phi = sp_stack[1]
+            phi_prev = sp_stack[2] if len(stackc) == 3 else None
+            mask = self._pair_mask
+        else:
+            mv = lambda v: self._matvec(blocks, v)
+            mask = getattr(self, "_pad_mask", None)
         if phi_prev is not None:
             pred = 2.0 * phi - phi_prev
             ra = rhs - mv(phi)
@@ -539,9 +601,12 @@ class Solver:
             self._make_precond(blocks, Pd, sp_, sym=True, pc=pc),
             rtol=sp_.rtol_emi, atol=sp_.atol_emi, max_it=sp_.max_it_emi,
             project_nullspace=True, b_ref=rhs,
-            nullspace_mask=getattr(self, "_pad_mask", None),
+            nullspace_mask=mask,
         )
-        return guess + res.x, res.iters, res.converged
+        out = guess + res.x
+        if pair:
+            out = from_pair(self.pairs, out)
+        return out, res.iters, res.converged
 
     def _finalize_step(self, state, stats, c, phi, advance_time, t):
         """Post-solve updates (solver.py:808-845)."""
@@ -594,14 +659,25 @@ class Solver:
             # production path: ONE shared-gather pass over all ions
             # (assembly.assemble_knp_all -- phi/D/alpha/membrane traces and
             # the block/rhs slot gathers are each issued once, not per ion)
+            pair = self.pair_layout
+            if pair:
+                cache = getattr(self, "_knp_static_blocks", {})
+                statics_use = cache.get(-2)        # pair-converted statics
+                if statics_use is None:
+                    from .ops.pairs import cell_bell_to_pair
+
+                    statics_use = cell_bell_to_pair(self.pairs, statics)
+            else:
+                statics_use = statics
             ionsd = {"z": self.z[:self.N_ions], "D": self.D[:self.N_ions],
                      "c_n": c_n, "c_k": c}
             blocksK, rhsK = assembly.assemble_knp_all(
                 g, self.masks, ionsd, phys, phi, alpha_sum,
                 phi_M=phi_M_pad, I_ch=I_ch_pad[:self.N_ions],
                 I_ch_tot=I_ch_tot_pad, splitting=self.splitting_scheme,
-                static_blocks=statics, gp=self.g,
+                static_blocks=statics_use, gp=self.g,
                 mem_t=getattr(self, "mem_dev", None),
+                pm=self.pairs if pair else None,
             )
             return blocksK, rhsK + srcs
 
@@ -635,36 +711,73 @@ class Solver:
         `pcK`: frozen coarse data stacked over the ion axis.  Replaces the
         reference's sequential per-ion KSP solves (solver.py:683-701)."""
         g = self.g
-        mv = lambda V: self._matvec(blocksK, V)
         kind = sp_.precond_knp or sp_.precond
-        if kind.startswith("two_level"):
-            data = pcK if pcK is not None else jax.vmap(
-                lambda b: build_two_level(
-                    b, g["nbr"], sp_.agg_size, sym=False,
-                    mass_diag=g["vol"] / self.params.dt,
-                )
-            )(blocksK)
-            pcf = two_level_apply_batched(
-                data, blocksK[:, 0], sp_.agg_size,
-                matvec=mv if kind == "two_level_mult" else None)
+        pair = isinstance(blocksK, tuple)
+        if pair:
+            from .ops.pairs import (from_pair, pair_matvec_multi, pair_nbr,
+                                    pair_v_sums, to_pair)
+
+            pm = self.pairs
+            pdK, peK = blocksK
+            mv = lambda V: pair_matvec_multi(pdK, peK, pm, V)
+            agg_p = sp_.agg_size // 2
+            conv = to_pair(pm, jnp.stack([rhsK, c]))
+            rhs_p, c_p = conv[0], conv[1]
+            lm = self._pair_mask.astype(rhs_p.dtype)[None]
+            pdK_bj = (pdK * self._pair_bj_halves[None]
+                      if getattr(sp_, "pair_bj", "full") == "halves"
+                      else pdK)
+            if kind.startswith("two_level"):
+                data = pcK if pcK is not None else jax.vmap(
+                    lambda pd_, pe_: build_two_level(
+                        None, pair_nbr(pm), agg_p, sym=False,
+                        mass_diag=self._pair_mass / self.params.dt,
+                        v=pair_v_sums(pd_, pe_),
+                    )
+                )(pdK, peK)
+                pcf0 = two_level_apply_batched(
+                    data, pdK_bj, agg_p,
+                    matvec=mv if kind == "two_level_mult" else None)
+                # live-masked: the chunk prolong writes into dead self-pair
+                # halves (see _make_precond's pair branch)
+                pcf = lambda r: pcf0(r) * lm
+            else:
+                Pinv = jax.vmap(block_jacobi_inverse)(pdK_bj)
+                pcf = lambda r: jnp.einsum("mijc,mjc->mic", Pinv, r) * lm
+            r0 = rhs_p - mv(c_p)
+            b_ref = rhs_p
         else:
-            Pinv = jax.vmap(block_jacobi_inverse)(blocksK[:, 0])
-            pcf = lambda r: jnp.einsum("mijc,mjc->mic", Pinv, r)
-        r0 = rhsK - mv(c)
+            mv = lambda V: self._matvec(blocksK, V)
+            if kind.startswith("two_level"):
+                data = pcK if pcK is not None else jax.vmap(
+                    lambda b: build_two_level(
+                        b, g["nbr"], sp_.agg_size, sym=False,
+                        mass_diag=g["vol"] / self.params.dt,
+                    )
+                )(blocksK)
+                pcf = two_level_apply_batched(
+                    data, blocksK[:, 0], sp_.agg_size,
+                    matvec=mv if kind == "two_level_mult" else None)
+            else:
+                Pinv = jax.vmap(block_jacobi_inverse)(blocksK[:, 0])
+                pcf = lambda r: jnp.einsum("mijc,mjc->mic", Pinv, r)
+            r0 = rhsK - mv(c)
+            b_ref = rhsK
         if getattr(sp_, "knp_solver", "gmres") == "bicgstab":
             res = bicgstab_batched(
                 mv, r0, jnp.zeros_like(r0), pcf,
                 rtol=sp_.rtol_knp, atol=sp_.atol_knp,
-                max_it=sp_.max_it_knp, b_ref=rhsK,
+                max_it=sp_.max_it_knp, b_ref=b_ref,
             )
         else:
             res = gmres_batched(
                 mv, r0, jnp.zeros_like(r0), pcf,
                 rtol=sp_.rtol_knp, atol=sp_.atol_knp,
                 max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
-                b_ref=rhsK, orth=getattr(sp_, "gmres_orth", "cgs2"),
+                b_ref=b_ref, orth=getattr(sp_, "gmres_orth", "cgs2"),
             )
-        return c + res.x, res.iters, res.converged
+        dx = from_pair(self.pairs, res.x) if pair else res.x
+        return c + dx, res.iters, res.converged
 
     # ------------------------------------------------------------------
     # Picard iteration (solver.py:850-927)
@@ -890,7 +1003,7 @@ class Solver:
     # TPU compiler constant-fold them for minutes (and risks its request
     # size limit); as parameters the programs stay small and compile fast.
     _AUX_FIELDS = ("g", "masks", "D", "z", "rho", "mem_dev", "g2", "mem_dev2",
-                   "_halo_data")
+                   "_halo_data", "pairs", "_pair_mask", "_pair_mass")
 
     def _aux_pytree(self):
         aux = {}
@@ -913,6 +1026,9 @@ class Solver:
         swapped onto `self`, so `fn` (and everything it calls) transparently
         reads traced values instead of baking device constants into the
         program."""
+        # the operator layout changes every traced program: key on it so a
+        # toggled enable_pair_layout can never hit a stale trace
+        key = (key, self.pair_layout)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -984,7 +1100,46 @@ class Solver:
         data built once at the initial state (the block-Jacobi smoother is
         still rebuilt from the fresh P_diag)."""
         kind = sp_.precond if sym else (sp_.precond_knp or sp_.precond)
+        pair = isinstance(blocks, tuple)
         if kind.startswith("two_level"):
+            if pair:
+                from .ops.pairs import (onehot_to_pair, pair_matvec,
+                                        pair_nbr, pair_v_sums)
+
+                pd_, pe_ = blocks
+                mv = ((lambda v: pair_matvec(pd_, pe_, self.pairs, v))
+                      if kind == "two_level_mult" else None)
+                agg_p = sp_.agg_size // 2          # chunks stay agg_size CELLS
+                # the chunk-coarse prolong broadcasts into DEAD self-pair
+                # halves; left unmasked, dead(p) pollutes <p, A p> through
+                # the dead-identity rows and CG's alpha loses optimality
+                # (measured: stall at the iteration cap).  The live-masked
+                # apply is the pc restricted to the live subspace -- SPD
+                # there, and dead Krylov components stay exactly zero.
+                lm = self._pair_mask.astype(P_diag.dtype)
+                if getattr(sp_, "pair_bj", "full") == "halves":
+                    P_diag = P_diag * self._pair_bj_halves
+                if pc is not None:
+                    fn = two_level_apply_fn(pc, P_diag, agg_p, matvec=mv)
+                    return lambda r: fn(r) * lm
+                comp_onehot, comp_ids = (self._comp_arrays() if sym
+                                         else (None, None))
+                if comp_onehot is not None:
+                    pmh = self.pairs_host
+                    comp_onehot = jnp.asarray(
+                        np.asarray(comp_onehot)[:, pmh["cop"][0]])
+                    comp_ids = jnp.asarray(
+                        np.asarray(comp_ids)[pmh["cop"][0]])
+                data = build_two_level(
+                    None, pair_nbr(self.pairs), agg_p, sym=sym,
+                    comp_onehot=comp_onehot, comp_ids=comp_ids,
+                    extra_diag=(P_diag - pd_) if sym else None,
+                    mass_diag=None if sym else self._pair_mass
+                    / self.params.dt,
+                    v=pair_v_sums(pd_, pe_),
+                )
+                fn = two_level_apply_fn(data, P_diag, agg_p, matvec=mv)
+                return lambda r: fn(r) * lm
             mv = (
                 (lambda v: self._matvec(blocks, v))
                 if kind == "two_level_mult" else None
@@ -1014,51 +1169,98 @@ class Solver:
         jacobi preconditioning)."""
         if self.mms is not None or (sp_.direct_emi and sp_.direct_knp):
             return None
+        pair = self.pair_layout
+        if pair:
+            from .ops import pairs as _pairs
         pc = {}
         phi_M_pad, I_ch_pad, I_ch_tot_pad = self._pads(state)
         if not sp_.direct_emi and sp_.precond.startswith("two_level"):
-            asm_emi = self._jit(("asm_emi", self.splitting_scheme),
-                                self._assemble_emi)
-            blocks, _, Pd = asm_emi(state["c"], state["c_elim"], phi_M_pad,
-                                    I_ch_tot_pad, state["t"])
+            asm_emi = self._jit(("asm_emi", self.splitting_scheme, pair),
+                                partial(self._assemble_emi, pair=pair))
+            blocks, rhs, Pd = asm_emi(state["c"], state["c_elim"], phi_M_pad,
+                                      I_ch_tot_pad, state["t"])
             comp_onehot, comp_ids = self._comp_arrays()
-            build = self._jit(
-                ("pc_emi", sp_.agg_size),
-                lambda b, P: build_two_level(
-                    b, self.g["nbr"], sp_.agg_size, sym=True,
-                    comp_onehot=jnp.asarray(comp_onehot),
-                    comp_ids=jnp.asarray(comp_ids),
-                    extra_diag=P - b[0],
-                ),
-            )
-            pc["emi"] = build(blocks, Pd)
+            if pair:
+                # two-level coarse data over the PAIR axis (chunks of
+                # agg_size//2 pairs = agg_size cells; pairs never cross
+                # compartments by construction)
+                pmh = self.pairs_host
+                oh_p = jnp.asarray(np.asarray(comp_onehot)[:, pmh["cop"][0]])
+                ids_p = jnp.asarray(np.asarray(comp_ids)[pmh["cop"][0]])
+                build = self._jit(
+                    ("pc_emi_pair", sp_.agg_size),
+                    lambda bp, P: build_two_level(
+                        None, _pairs.pair_nbr(self.pairs),
+                        sp_.agg_size // 2, sym=True,
+                        comp_onehot=oh_p, comp_ids=ids_p,
+                        extra_diag=P - bp[0],
+                        v=_pairs.pair_v_sums(*bp),
+                    ),
+                )
+                pc["emi"] = build(blocks, Pd)
+            else:
+                build = self._jit(
+                    ("pc_emi", sp_.agg_size),
+                    lambda b, P: build_two_level(
+                        b, self.g["nbr"], sp_.agg_size, sym=True,
+                        comp_onehot=jnp.asarray(comp_onehot),
+                        comp_ids=jnp.asarray(comp_ids),
+                        extra_diag=P - b[0],
+                    ),
+                )
+                pc["emi"] = build(blocks, Pd)
             if sp_.emi_moment_order > 0:
-                pc["emi"] = dict(pc["emi"],
-                                 **self._emi_moment_data(blocks, sp_))
+                mom = self._emi_moment_data_any(blocks, sp_)
+                pc["emi"] = dict(pc["emi"], **mom)
             if reuse_ritz:
                 pc["emi"] = dict(pc["emi"], **reuse_ritz)
             elif getattr(sp_, "emi_ritz", 0) > 0:
-                asm = self._jit(("asm_emi", self.splitting_scheme),
-                                self._assemble_emi)
-                _, rhs, _ = asm(state["c"], state["c_elim"], phi_M_pad,
-                                I_ch_tot_pad, state["t"])
                 # device Lanczos -> host f64 Galerkin: jnp "f64" silently
                 # truncates to f32 on TPU without x64 (round-4 finding --
                 # the round-3 on-device Galerkin never actually ran in f64
                 # on hardware, which is why emi_ritz looked marginal)
-                harvest = self._jit(
-                    ("pc_ritz_W", sp_.agg_size, sp_.emi_ritz),
-                    lambda b, Pd_, data, r: ritz_lanczos_W(
-                        b, self.g["nbr"],
-                        two_level_apply_fn(data, Pd_, sp_.agg_size),
-                        r, n_ritz=sp_.emi_ritz),
-                )
-                ritz_W = harvest(blocks, Pd, pc["emi"], rhs)
-                # project_mean: strip the EMI nullspace (global constant)
-                # from the harvested fields in f64 -- see the function's
-                # docstring for the CPU-f32 catastrophe this prevents
-                ritz = ritz_galerkin_host(blocks, self.g["nbr"], ritz_W,
-                                          project_mean=True)
+                if pair:
+                    agg_p = sp_.agg_size // 2
+                    harvest = self._jit(
+                        ("pc_ritz_W_pair", sp_.agg_size, sp_.emi_ritz),
+                        lambda bp, Pd_, data, r: ritz_lanczos_W(
+                            None, None,
+                            two_level_apply_fn(data, Pd_, agg_p),
+                            _pairs.to_pair(self.pairs, r),
+                            n_ritz=sp_.emi_ritz,
+                            matvec=lambda v: _pairs.pair_matvec(
+                                bp[0], bp[1], self.pairs, v),
+                            mask=self._pair_mask),
+                    )
+                    W_pair = harvest(blocks, Pd, pc["emi"], rhs)
+                    # f64 Galerkin runs on CELL blocks (exact: the live
+                    # entries carry the same values; dead halves are
+                    # masked to zero in the harvest)
+                    asm_c = self._jit(("asm_emi", self.splitting_scheme,
+                                       False), self._assemble_emi)
+                    blocks_c, _, _ = asm_c(state["c"], state["c_elim"],
+                                           phi_M_pad, I_ch_tot_pad,
+                                           state["t"])
+                    W_cell = _pairs.from_pair(self.pairs, W_pair)
+                    ritz = ritz_galerkin_host(blocks_c, self.g["nbr"],
+                                              W_cell, project_mean=True)
+                    ritz["ritz_W"] = _pairs.to_pair(self.pairs,
+                                                    ritz["ritz_W"])
+                else:
+                    harvest = self._jit(
+                        ("pc_ritz_W", sp_.agg_size, sp_.emi_ritz),
+                        lambda b, Pd_, data, r: ritz_lanczos_W(
+                            b, self.g["nbr"],
+                            two_level_apply_fn(data, Pd_, sp_.agg_size),
+                            r, n_ritz=sp_.emi_ritz),
+                    )
+                    ritz_W = harvest(blocks, Pd, pc["emi"], rhs)
+                    # project_mean: strip the EMI nullspace (global
+                    # constant) from the harvested fields in f64 -- see the
+                    # function's docstring for the CPU-f32 catastrophe this
+                    # prevents
+                    ritz = ritz_galerkin_host(blocks, self.g["nbr"], ritz_W,
+                                              project_mean=True)
                 # the harvest is numerically fragile (near-parallel Ritz
                 # vectors make the Galerkin ill-conditioned); a NaN here
                 # would silently zero every later solve's tolerance test,
@@ -1080,14 +1282,29 @@ class Solver:
                 ),
             )
             blocksK, rhsK = asm_knp(state)
-            build_k = self._jit(
-                ("pc_knp", sp_.agg_size),
-                jax.vmap(lambda b: build_two_level(
-                    b, self.g["nbr"], sp_.agg_size, sym=False,
-                    mass_diag=self.g["vol"] / self.params.dt,
-                )),
-            )
+            if pair:
+                build_k = self._jit(
+                    ("pc_knp_pair", sp_.agg_size),
+                    lambda bp: jax.vmap(lambda pd_, pe_: build_two_level(
+                        None, _pairs.pair_nbr(self.pairs),
+                        sp_.agg_size // 2, sym=False,
+                        mass_diag=self._pair_mass / self.params.dt,
+                        v=_pairs.pair_v_sums(pd_, pe_),
+                    ))(bp[0], bp[1]),
+                )
+            else:
+                build_k = self._jit(
+                    ("pc_knp", sp_.agg_size),
+                    jax.vmap(lambda b: build_two_level(
+                        b, self.g["nbr"], sp_.agg_size, sym=False,
+                        mass_diag=self.g["vol"] / self.params.dt,
+                    )),
+                )
             pc["knp"] = build_k(blocksK)
+            if getattr(sp_, "knp_ritz", 0) > 0 and pair:
+                raise NotImplementedError(
+                    "knp_ritz (an experimental, measured-and-buried option)"
+                    " is not wired for the pair layout")
             if getattr(sp_, "knp_ritz", 0) > 0:
                 # per-ion harvest with the same device-Lanczos + f64 host
                 # Galerkin recipe as emi_ritz.  The KNP operator is mildly
@@ -1122,8 +1339,8 @@ class Solver:
                           f"disabled for this pc build {bcolors.ENDC}")
         return pc or None
 
-    def _emi_moment_data(self, blocks, sp_: SolverParams):
-        """Galerkin data for the per-compartment moment deflation
+    def _emi_moment_W(self, sp_: SolverParams):
+        """Per-compartment moment deflation fields W (nw, nd, nc)
         (solvers/twolevel.moment_vectors): coordinates follow the shard
         renumbering/padding when the solver is sharded."""
         # nodes (nd, d, nc) already follow any shard permutation and
@@ -1138,13 +1355,34 @@ class Solver:
         extra = coords.shape[0] - comp.shape[0]
         if extra:
             comp = np.concatenate([comp, np.full(extra, -1, dtype=comp.dtype)])
-        W = moment_vectors(coords, comp, sp_.emi_moment_order,
-                           dtype=self.dtype)
+        return moment_vectors(coords, comp, sp_.emi_moment_order,
+                              dtype=self.dtype)
+
+    def _emi_moment_data(self, blocks, sp_: SolverParams):
+        W = self._emi_moment_W(sp_)
         build = self._jit(
             ("pc_emi_mom", sp_.emi_moment_order),
             lambda b, Wm: build_moment_deflation(
                 None, Wm,
                 fan=lambda X: bell_matvec_fan(b, self.g["nbr"], X)),
+        )
+        return build(blocks, W)
+
+    def _emi_moment_data_any(self, blocks, sp_: SolverParams):
+        """Layout dispatch: Galerkin the moment fields with whichever
+        operator format the solve will apply them in (the dot products are
+        identical -- live pair entries carry the same values)."""
+        if not isinstance(blocks, tuple):
+            return self._emi_moment_data(blocks, sp_)
+        from .ops import pairs as _pairs
+
+        W = self._emi_moment_W(sp_)
+        build = self._jit(
+            ("pc_emi_mom_pair", sp_.emi_moment_order),
+            lambda bp, Wm: build_moment_deflation(
+                None, _pairs.to_pair(self.pairs, Wm),
+                fan=lambda X: _pairs.pair_matvec_fan(bp[0], bp[1],
+                                                     self.pairs, X)),
         )
         return build(blocks, W)
 
@@ -1181,6 +1419,12 @@ class Solver:
                 # pytree dict sortable)
                 cache[-1] = jnp.stack(
                     [cache[k] for k in range(self.N_ions)])
+            if self.pair_layout and -2 not in cache and -1 in cache:
+                # key -2: the pair-converted static operator (the per-step
+                # pair assembly adds it directly; one-time conversion)
+                from .ops.pairs import cell_bell_to_pair
+
+                cache[-2] = cell_bell_to_pair(self.pairs, cache[-1])
         if "pc" in state:
             return state
         pc = self._build_pc(state, sp_, reuse_ritz=reuse_ritz)
@@ -1252,14 +1496,15 @@ class Solver:
         each phase can be timed with a device sync in between.  Used when
         `save_solver_stats` is on (instrumentation runs); the production
         fast path stays one fused program."""
-        key = ("phased", self.splitting_scheme, sp_)
+        key = ("phased", self.splitting_scheme, sp_, self.pair_layout)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
         def asm_emi(state):
             phi_M_pad, _, I_ch_tot_pad = self._pads(state)
             return self._assemble_emi(state["c"], state["c_elim"],
-                                      phi_M_pad, I_ch_tot_pad, state["t"])
+                                      phi_M_pad, I_ch_tot_pad, state["t"],
+                                      pair=self.pair_layout)
 
         def solve_emi(blocks, Pd, rhs, state):
             pc = state.get("pc")

@@ -163,18 +163,24 @@ def build_moment_deflation(matvec, W, ridge: float = 1e-6, fan=None):
 
 
 def ritz_lanczos_W(blocks, nbr, precond, b, k: int = 40, n_ritz: int = 8,
-                   project_mean: bool = True):
+                   project_mean: bool = True, matvec=None, mask=None):
     """Device half of the Ritz harvest: k steps of preconditioned Lanczos
     from rhs ``b``, returning the ``n_ritz`` smallest normalized Ritz
     fields W (n_ritz, nd, nc).  Pair with :func:`ritz_galerkin_host` for
     the deflation Galerkin -- see build_ritz_deflation.
 
     ``project_mean`` removes the global constant from the seed (the EMI
-    nullspace convention); pass False for regular operators (KNP)."""
+    nullspace convention); pass False for regular operators (KNP).
+    ``matvec`` overrides the block-ELL apply (pair-layout path).
+    ``mask`` (b-shaped, 0/1): live entries -- the projection averages over
+    and re-masks to them (the pair layout's dead self-pair halves must
+    stay exactly zero so the harvested fields convert faithfully back to
+    cell layout)."""
     from ..ops.spmv import bell_matvec
 
     shape = b.shape
-    mv = lambda v: bell_matvec(blocks, nbr, v)
+    mv = matvec if matvec is not None else (
+        lambda v: bell_matvec(blocks, nbr, v))
 
     def dot(a, c):
         return jnp.einsum("ic,ic->", a, c)
@@ -185,7 +191,17 @@ def ritz_lanczos_W(blocks, nbr, precond, b, k: int = 40, n_ritz: int = 8,
     # chunk-coarse piece of the preconditioner reintroduces the constant
     # over the k iterations and the harvest collapses onto it (A-energy
     # ~0 -> 1/sqrt(dg) blowup; see ritz_galerkin_host).
-    proj = (lambda v: v - jnp.mean(v)) if project_mean else (lambda v: v)
+    if mask is not None:
+        w_m = mask.astype(b.dtype)
+        wsum = jnp.sum(w_m)
+        if project_mean:
+            proj = lambda v: (v - jnp.sum(v * w_m) / wsum) * w_m
+        else:
+            proj = lambda v: v * w_m
+    elif project_mean:
+        proj = lambda v: v - jnp.mean(v)
+    else:
+        proj = lambda v: v
     r = proj(b)
     z = proj(precond(r))
     beta0 = jnp.sqrt(jnp.maximum(dot(r, z), 1e-30))
@@ -309,7 +325,7 @@ def build_ritz_deflation(blocks, nbr, precond, b, k: int = 40,
 
 def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
                     comp_onehot=None, comp_ids=None, extra_diag=None,
-                    mass_diag=None):
+                    mass_diag=None, v=None):
     """Build the *frozen* coarse-level data of the two-level preconditioner:
     the dense equilibrated coarse inverse (and the compartment-deflation
     inverse).  This is the expensive part (a ~(nc/agg)^3 Cholesky + explicit
@@ -319,18 +335,23 @@ def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
     preconditioner (the Krylov iteration corrects for the difference); only
     the block-Jacobi smoother is rebuilt from fresh blocks each solve.
 
+    ``v``: precomputed per-slot block value sums (K, nc) -- the only thing
+    ``blocks`` is read for.  The pair-layout path passes
+    ops.pairs.pair_v_sums (its blocks live in a different shape); then
+    ``blocks`` may be None and ``nbr``/chunks index the PAIR axis.
+
     Returns a pytree of arrays usable as a jit argument."""
-    nc = blocks.shape[3]
+    if v is None:
+        v = blocks.sum(axis=(1, 2))                 # (K, nc)
+    nc = v.shape[1]
     n_agg = -(-nc // agg_size)
     pad = n_agg * agg_size - nc
     agg = jnp.arange(nc + pad, dtype=jnp.int32) // agg_size
-
-    v = blocks.sum(axis=(1, 2))                     # (K, nc)
     cross_chunk = agg[jnp.pad(nbr, ((0, 0), (0, pad)))] != agg[None, :]
     vm_chunk = jnp.where(cross_chunk, jnp.pad(v, ((0, 0), (0, pad))), 0.0)
     rows = jnp.broadcast_to(agg[None, :], vm_chunk.shape)
     cols = agg[jnp.pad(nbr, ((0, 0), (0, pad)))]
-    Ac = jnp.zeros((n_agg, n_agg), dtype=blocks.dtype)
+    Ac = jnp.zeros((n_agg, n_agg), dtype=v.dtype)
     Ac = Ac.at[rows.ravel(), cols.ravel()].add(vm_chunk.ravel())
     crossing_rowsum = (
         jnp.pad(vm_chunk.sum(axis=0), (0, 0)).reshape(n_agg, agg_size).sum(axis=1)
@@ -383,7 +404,7 @@ def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
         crossing = comp_ids[nbr] != comp_ids[None, :]
         vm = jnp.where(crossing, v, 0.0)
         rowsc = jnp.broadcast_to(comp_ids[None, :], vm.shape)
-        Acomp = jnp.zeros((n_comp, n_comp), dtype=blocks.dtype)
+        Acomp = jnp.zeros((n_comp, n_comp), dtype=v.dtype)
         Acomp = Acomp.at[rowsc.ravel(), comp_ids[nbr].ravel()].add(vm.ravel())
         offdiag_rowsum = comp_onehot @ vm.sum(axis=0)
         Acomp = Acomp.at[jnp.arange(n_comp), jnp.arange(n_comp)].add(

@@ -2,10 +2,17 @@
 exact parity against the cell block-ELL emitter/matvec.
 
 The pair layout is a pure re-blocking of the same operator -- every test
-here asserts EXACT (f64) agreement, not tolerance agreement."""
+here asserts EXACT (f64) agreement, not tolerance agreement (the
+end-to-end solver test allows solver-tolerance differences: the pair
+block-Jacobi smoother is genuinely stronger, so iteration PATHS differ)."""
+import os
+import sys
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 from knpemidg_tpu.mesh.core import build_mesh
 from knpemidg_tpu.mesh.generators import mms_square, box_3d_axons
@@ -167,3 +174,104 @@ def test_block_diag_embed_and_vsums(name, mesh, geom):
                                float(blocks.sum()), rtol=1e-10)
     nb = P.pair_nbr(pm)
     assert nb.shape == (1 + pm["ext_f"].shape[0], pm["int_f"].shape[0])
+
+
+@pytest.mark.parametrize("name,mesh,geom", SETUPS, ids=[s[0] for s in SETUPS])
+def test_cell_bell_to_pair_matches_pair_emitter(name, mesh, geom):
+    """The one-time cell-ELL converter (for the cached static KNP operator)
+    must produce the exact arrays the direct pair emitter produces."""
+    pm = P.pair_maps_to_device(P.build_pair_maps(geom))
+    rng = np.random.default_rng(4)
+    A_cell, (Mpp, Mmm, Mpm, Mmp) = _rand_blocks(geom, rng)
+    g = geom.to_device()
+    blocks = gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
+    pd_ref, pe_ref = P.gather_blocks_pair(g, pm, A_cell, Mpp, Mpm, Mmp, Mmm,
+                                          dead_identity=0.5)
+    pd, pe = P.cell_bell_to_pair(pm, blocks, dead_identity=0.5)
+    np.testing.assert_allclose(np.asarray(pd), np.asarray(pd_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pe), np.asarray(pe_ref),
+                               rtol=1e-12, atol=1e-12)
+    # batched leading axis broadcast
+    pdm, pem = P.cell_bell_to_pair(pm, jnp.stack([blocks, 2.0 * blocks]),
+                                   dead_identity=0.5)
+    np.testing.assert_allclose(np.asarray(pdm[1] - pd) ,
+                               np.asarray(pd) - np.asarray(
+                                   P.pair_block_diag_embed(
+                                       pm, jnp.zeros_like(A_cell),
+                                       dead_identity=0.5)),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_pair_layout_full_step_parity_2d():
+    """One fused active step on the 2D app with and without the pair
+    layout: same physics to solver tolerance, preconditioner data in pair
+    shapes, converged."""
+    from knpemidg_tpu.config import SolverParams
+    from run_2D import build_solver
+
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-8, rtol_knp=1e-8,
+                      max_it_emi=400, max_it_knp=200, gmres_restart=20)
+
+    S0 = build_solver(resolution=0)
+    st0 = S0.attach_pc(S0._initial_state(0.0), sp)
+    out0, stats0 = S0.fused_step(sp)(st0)
+
+    S1 = build_solver(resolution=0).enable_pair_layout()
+    st1 = S1.attach_pc(S1._initial_state(0.0), sp)
+    # pc data must be pair-shaped: mom_W over (2nd, npair)
+    npair = int(S1.pairs["int_f"].shape[0])
+    assert st1["pc"]["emi"]["mom_W"].shape[-2:] == (2 * S1.nd, npair)
+    out1, stats1 = S1.fused_step(sp)(st1)
+
+    assert bool(np.all(np.asarray(stats1["emi_converged"])))
+    assert bool(np.all(np.asarray(stats1["knp_converged"])))
+    np.testing.assert_allclose(np.asarray(out0["c"]), np.asarray(out1["c"]),
+                               rtol=5e-6, atol=1e-9)
+    phi0 = np.asarray(out0["phi"], np.float64)
+    phi1 = np.asarray(out1["phi"], np.float64)
+    np.testing.assert_allclose(phi0 - phi0.mean(), phi1 - phi1.mean(),
+                               rtol=0, atol=5e-6 * np.abs(phi0).max())
+    np.testing.assert_allclose(np.asarray(out0["phi_M"]),
+                               np.asarray(out1["phi_M"]),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_pair_layout_multistep_3d_with_ritz():
+    """3D axon bundle, 3 fused steps with the production deflation stack
+    (moments + Ritz) under the pair layout vs the cell layout."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from knpemidg_tpu.config import SolverParams
+
+    # tight tolerances so the two layouts' different iteration paths (the
+    # pair BJ smoother is stronger) cannot masquerade as layout bugs: at
+    # rtol_emi 1e-6 the 3-step trajectory spread through the HH gating
+    # feedback reaches ~6e-5 relative dc; at 1e-9 it collapses
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-9, rtol_knp=1e-10,
+                      max_it_emi=600, max_it_knp=300, gmres_restart=20,
+                      agg_size=32, emi_ritz=8)
+
+    outs = {}
+    for pair in (False, True):
+        S = ge._build_3d_solver()
+        S.params = dataclasses.replace(S.params, n_steps_ODE=5)
+        if pair:
+            S.enable_pair_layout()
+        state = S.attach_pc(S._initial_state(0.0), sp)
+        step = S.fused_step(sp)
+        for _ in range(3):
+            state, stats = step(state)
+        assert bool(np.all(np.asarray(stats["emi_converged"]))), pair
+        assert bool(np.all(np.asarray(stats["knp_converged"]))), pair
+        outs[pair] = state
+
+    np.testing.assert_allclose(np.asarray(outs[False]["c"]),
+                               np.asarray(outs[True]["c"]),
+                               rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(outs[False]["phi_M"]),
+                               np.asarray(outs[True]["phi_M"]),
+                               rtol=1e-4, atol=1e-7)
