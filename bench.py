@@ -32,11 +32,16 @@ N_STEPS = 10       # the reference EMIx protocol: Tstop = 1 ms, dt = 0.1 ms
 CPU_STEPS = 10     # same protocol for a fair vs_baseline ratio
 
 
-def build(dtype=None, mesh=None):
+def build(dtype=None, mesh=None, pair=False):
     from run_EMIx_simulation import build_solver
     from knpemidg_tpu.config import SolverParams
 
     S = build_solver(dtype=dtype, mesh=mesh)
+    if pair:
+        # pair-block Krylov path: -8% step time on the EMIx workload
+        # (ops/pairs.py; ROADMAP round-4 item 10).  Both bench legs use
+        # it so vs_baseline compares the same program.
+        S.enable_pair_layout()
     # reference production tolerances (run_EMIx_simulation.py:224-234);
     # increment-form solves make rtol_knp 1e-7 reachable in f32
     sp = SolverParams(
@@ -165,21 +170,35 @@ def phase_breakdown(S, sp):
     from knpemidg_tpu.ops.spmv import bell_matvec
     R = 50
 
+    if isinstance(blocks, tuple):                # pair layout
+        from knpemidg_tpu.ops.pairs import pair_matvec, to_pair
+
+        pd, pe = blocks
+        pm = S.pairs
+        x0 = to_pair(pm, jnp.zeros_like(rhs))
+        mv = lambda v: pair_matvec(pd, pe, pm, v)
+        nbytes = (pd.size + pe.size + 2 * x0.size
+                  + pe.shape[0] * pd.shape[-1] * pe.shape[2]) * 4 \
+            + pm["ext_col"].size * 4
+    else:
+        x0 = jnp.zeros_like(rhs)
+        mv = lambda v: bell_matvec(blocks, nbr, v)
+        K, nd, _, nc = blocks.shape
+        nbytes = 4 * nc * (K * nd * nd + 2 * nd + (K - 1) * nd) \
+            + 4 * nc * (K - 1)
+
     @jax.jit
     def chain(x):
         def body(c, _):
-            return bell_matvec(blocks, nbr, c) * 1e-2, ()
+            return mv(c) * 1e-2, ()
         return jax.lax.scan(body, x, None, length=R)[0]
 
-    x = jnp.zeros_like(rhs)
-    jax.block_until_ready(chain(x))
+    jax.block_until_ready(chain(x0))
     t0 = time.perf_counter()
-    jax.block_until_ready(chain(x))
+    jax.block_until_ready(chain(x0))
     mv_s = (time.perf_counter() - t0) / R
-    K, nd, _, nc = blocks.shape
-    bytes_per = 4 * nc * (K * nd * nd + 2 * nd + (K - 1) * nd) + 4 * nc * (K - 1)
     ph["matvec_ms"] = mv_s * 1e3
-    ph["matvec_gbps"] = bytes_per / mv_s / 1e9
+    ph["matvec_gbps"] = nbytes / mv_s / 1e9
     return {k: round(float(v), 4) for k, v in ph.items()}
 
 
@@ -202,7 +221,7 @@ def main():
         mesh = box_3d_axons(1, length_factor=2)
         mesh.vertices *= 1e2          # m -> cm (emix unit system)
 
-    S, sp = build(mesh=mesh)
+    S, sp = build(mesh=mesh, pair=True)
     t_dev, dist = time_steps(S, sp, N_STEPS,
                              f"device[{jax.default_backend()}]", reps=7)
     try:
@@ -216,7 +235,7 @@ def main():
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            S2, sp2 = build(mesh=mesh)
+            S2, sp2 = build(mesh=mesh, pair=True)
             t_cpu, _ = time_steps(S2, sp2, CPU_STEPS, "cpu")
     except Exception as e:                            # pragma: no cover
         print(f"# cpu baseline failed: {e}", file=sys.stderr)

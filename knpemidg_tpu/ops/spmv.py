@@ -19,7 +19,16 @@ def bell_matvec(blocks: jnp.ndarray, nbr: jnp.ndarray, x: jnp.ndarray) -> jnp.nd
 
     Slot 0 is the diagonal (nbr[0] = identity), so only the K-1 off-diagonal
     slots pay for a gather -- TPU random gather is the single most expensive
-    operation in the Krylov loop."""
+    operation in the Krylov loop.
+
+    NOTE on the einsum: XLA lowers it to a dot_general that keeps a
+    RESIDENT transposed copy of the whole block tensor with nd on the
+    lane axis (32x tile padding: 1.2 GB for the 37 MB flagship EMI
+    operator, 9.5 GB at 1M cells -- the current single-chip fused-step
+    mesh-size wall, ROADMAP round-4 item 9).  Both elementwise-FMA
+    reformulations measured SLOWER on the hot path (6.07 and 1.60 vs
+    1.33 ms/apply on the EMIx mesh), so the einsum stays; scaling past
+    ~1M cells per chip goes through sharding, not this kernel."""
     y = jnp.einsum("ijc,jc->ic", blocks[0], x)
     xg = x.at[:, nbr[1:]].get(mode="promise_in_bounds")     # (nd, K-1, nc)
     return y + jnp.einsum("kijc,jkc->ic", blocks[1:], xg)
@@ -49,15 +58,23 @@ def bell_matvec_multi(blocks: jnp.ndarray, nbr: jnp.ndarray,
 def bell_matvec_fan(blocks: jnp.ndarray, nbr: jnp.ndarray,
                     x: jnp.ndarray) -> jnp.ndarray:
     """One operator applied to m vectors: blocks (K, nd, nd, nc),
-    x (m, nd, nc) -> (m, nd, nc), sharing ONE neighbor gather across all
-    vectors (payload rides the sublane axis).  Used by the moment-deflation
-    Galerkin build (63 fields per apply); vmap(bell_matvec) would issue m
-    slow high-rank gathers instead."""
+    x (m, nd, nc) -> (m, nd, nc), one 2-D gather per slot with all m
+    vectors riding the payload (TPU gather cost is per-index).  Used by
+    the moment-deflation Galerkin build (45-63 fields per apply);
+    vmap(bell_matvec) would issue m slow high-rank gathers instead.
+
+    Per-SLOT gathers (same total index count as one stacked gather of all
+    slots): the stacked form's (m, nd, K-1, nc) intermediate puts small
+    axes in the sublane tile and pads 2.8-32x -- 15 GB and a compile OOM
+    at m=45 fields on a 1M-cell mesh (ROADMAP round-4 item 9)."""
     m, nd, nc = x.shape
     y = jnp.einsum("ijc,mjc->mic", blocks[0], x)
-    xg = x.reshape(m * nd, nc).at[:, nbr[1:]].get(mode="promise_in_bounds")
-    xg = xg.reshape(m, nd, nbr.shape[0] - 1, nc)
-    return y + jnp.einsum("kijc,mjkc->mic", blocks[1:], xg)
+    xf = x.reshape(m * nd, nc)
+    for k in range(1, nbr.shape[0]):
+        xg = xf.at[:, nbr[k]].get(mode="promise_in_bounds")
+        y = y + jnp.einsum("ijc,mjc->mic", blocks[k],
+                           xg.reshape(m, nd, nc))
+    return y
 
 
 def block_jacobi_inverse(diag_blocks: jnp.ndarray) -> jnp.ndarray:

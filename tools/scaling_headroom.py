@@ -41,6 +41,14 @@ SIZES = {
 N_STEPS = 10
 REPS = 3
 
+# the two-level coarse solve is DENSE in n_agg = nc/agg_size: at 1M cells
+# the default agg 64 gives a 15552^2 (926 MB) coarse matrix whose blocked
+# Cholesky OOMs the TPU (measured, round 4).  Keep n_agg ~< 4k by scaling
+# the chunk size with the mesh -- the coarse gets weaker (more Krylov
+# iterations), which is exactly the scaling behavior this instrument is
+# meant to expose; a third coarse level is the structural fix.
+AGG = {"r1l2": 64, "r2l2": 256, "r2l4": 512, "r3l1": 1024}
+
 
 def hbm_mb():
     try:
@@ -60,7 +68,10 @@ def run_size(name):
     t_mesh = time.perf_counter() - t0
     n_cells = len(mesh.cells)
 
+    import dataclasses
+
     S, sp = bench.build(mesh=mesh)
+    sp = dataclasses.replace(sp, agg_size=AGG[name])
     t1 = time.perf_counter()
     state = S.attach_pc(S._initial_state(0.0), sp)
     blk = S._jit(("headroom", N_STEPS, sp), S.fused_block(sp, N_STEPS))
@@ -85,7 +96,7 @@ def run_size(name):
         "ms_per_cell_us": round(ms_step * 1e3 / n_cells, 4),
         "emi_total": int(emi.sum()), "knp_total": int(knp.sum()),
         "emi_iters": emi.tolist(), "knp_iters": knp.tolist(),
-        "hbm_mb": mem, "mesh_build_s": round(t_mesh, 1),
+        "agg_size": AGG[name], "hbm_mb": mem, "mesh_build_s": round(t_mesh, 1),
         "setup_compile_s": round(t_setup, 1), "finite": ok,
     }
     print(row)
