@@ -101,8 +101,40 @@ class H5Reader:
         self.f.close()
 
 
+def _write_tree(grp, tree: Dict[str, Any]):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            _write_tree(grp.create_group(str(k)), v)
+        else:
+            grp.create_dataset(str(k), data=np.asarray(v))
+
+
+def _read_tree(grp, dtype):
+    import jax.numpy as jnp
+
+    out = {}
+    for k, v in grp.items():
+        if isinstance(v, h5py.Group):
+            out[k] = _read_tree(v, dtype)
+        else:
+            a = v[()]
+            # floating leaves follow the solver dtype; index/flag leaves
+            # keep their stored type
+            out[k] = jnp.asarray(a, dtype=dtype
+                                 if np.issubdtype(a.dtype, np.floating)
+                                 else None)
+    return out
+
+
 def save_checkpoint(filename: str, state: Dict[str, Any]):
-    """Full solver-state checkpoint (exact restart)."""
+    """Full solver-state checkpoint (exact restart).
+
+    Includes the frozen preconditioner data (``state["pc"]``) when present:
+    the two-level coarse/deflation data is built from the *attach-time*
+    operator (incl. a state-dependent Ritz harvest, solvers/twolevel.py),
+    so rebuilding it from the restored mid-run state would give a slightly
+    different preconditioner and solver-tolerance-level trajectory spread;
+    restoring it makes resume exact."""
     with h5py.File(filename, "w") as f:
         f.create_dataset("c", data=np.asarray(state["c"]))
         f.create_dataset("c_elim", data=np.asarray(state["c_elim"]))
@@ -116,6 +148,8 @@ def save_checkpoint(filename: str, state: Dict[str, Any]):
             grp = f.create_group(f"mem_{tag}")
             grp.create_dataset("states", data=np.asarray(mm.states))
             grp.create_dataset("params", data=np.asarray(mm.params))
+        if isinstance(state.get("pc"), dict):
+            _write_tree(f.create_group("pc"), state["pc"])
 
 
 def load_checkpoint(filename: str, solver) -> Dict[str, Any]:
@@ -136,6 +170,8 @@ def load_checkpoint(filename: str, solver) -> Dict[str, Any]:
         if "phi_prev" in f:
             state["phi_prev"] = jnp.asarray(f["phi_prev"][()],
                                             dtype=solver.dtype)
+        if "pc" in f:                 # frozen preconditioner (exact resume)
+            state["pc"] = _read_tree(f["pc"], solver.dtype)
         for tag, mm in solver.mem_models.items():
             grp = f[f"mem_{tag}"]
             state["mem"][tag] = dataclasses.replace(
