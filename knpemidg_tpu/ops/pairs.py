@@ -147,6 +147,54 @@ def build_pair_maps(geom) -> Dict[str, np.ndarray]:
     }
 
 
+def interleave_pair_maps(pm: Dict[str, np.ndarray], nc: int):
+    """Rewrite pair maps for the INTERLEAVED cell order: pair p occupies
+    cell slots (2p, 2p+1), with a fresh inert pad cell (ids nc..) as the
+    dead second half of every self-pair.
+
+    Why: with cells renumbered this way, (a) the cell<->pair vector
+    conversions become pure reshapes (the gather version costs ~0.3 ms per
+    stacked conversion on the EMIx mesh), and (b) the preconditioner's
+    contiguous pair chunks (agg_size/2 pairs) cover exactly the same
+    contiguous (compartment, Morton) cell ranges as the cell layout's
+    chunks -- the shifted chunk boundaries of the order-by-representative
+    pair sequence cost +11% KNP window iterations (ROADMAP round-4
+    item 10).
+
+    Returns ``(new_maps, perm)``: maps valid in the new numbering (with
+    ``cell_col`` REMOVED -- its absence is the static marker to_pair /
+    from_pair branch on), and the permutation ``perm`` (new slot -> old
+    cell id, pad ids >= nc) to apply to every cell-indexed solver array
+    (parallel.sharding.permute_cells after pad_cell_axis)."""
+    cop, live1 = pm["cop"], pm["live1"]
+    npair = cop.shape[1]
+    self_ord = np.cumsum(~live1) - 1              # ordinal among self-pairs
+    old1 = np.where(live1, cop[1], nc + self_ord)
+    perm = np.empty(2 * npair, dtype=np.int64)
+    perm[0::2] = cop[0]
+    perm[1::2] = old1
+    inv = np.empty(2 * npair, dtype=np.int64)
+    inv[perm] = np.arange(2 * npair)
+
+    # external gather columns: recover the old owner cell from the old
+    # (pos, pid) encoding, map through the permutation, re-encode in the
+    # (h * npair + p) convention pair_matvec's flattened source uses
+    h_old = pm["ext_col"] // npair
+    p_old = pm["ext_col"] % npair
+    other_old = cop[h_old, p_old]                  # (S, npair) old cell ids
+    n_new = inv[other_old]
+    ext_col = ((n_new % 2) * npair + n_new // 2).astype(np.int32)
+
+    new = dict(pm)
+    new["cop"] = np.stack([np.arange(0, 2 * npair, 2, dtype=np.int32),
+                           np.arange(1, 2 * npair, 2, dtype=np.int32)])
+    new["pid"] = (np.arange(2 * npair, dtype=np.int32) // 2)
+    new["pos"] = (np.arange(2 * npair, dtype=np.int32) % 2)
+    new["ext_col"] = ext_col
+    del new["cell_col"]                            # reshape path marker
+    return new, perm
+
+
 def pair_maps_to_device(pm: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
     out = {}
     for k, v in pm.items():
@@ -164,17 +212,34 @@ def pair_maps_to_device(pm: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 
 def to_pair(pm, x):
-    """(..., nd, nc) -> (..., 2*nd, npair); dead halves zeroed."""
+    """(..., nd, nc) -> (..., 2*nd, npair); dead halves zeroed.
+
+    Interleaved maps (no ``cell_col`` -- see interleave_pair_maps): a pure
+    reshape/transpose at HBM-copy cost instead of an nc-index gather."""
+    if "cell_col" not in pm:
+        *lead, nd, nc2 = x.shape
+        npair = nc2 // 2
+        xr = jnp.moveaxis(x.reshape(*lead, nd, npair, 2), -1, -3)
+        out = xr.reshape(*lead, 2 * nd, npair)
+        live1 = pm["live1"].astype(x.dtype)
+        mask = jnp.concatenate([jnp.ones((nd, npair), dtype=x.dtype),
+                                jnp.broadcast_to(live1, (nd, npair))])
+        return out * mask
     xg = x[..., :, pm["cop"]]                       # (..., nd, 2, npair)
     h1 = xg[..., :, 1, :] * pm["live1"].astype(x.dtype)
     return jnp.concatenate([xg[..., :, 0, :], h1], axis=-2)
 
 
 def from_pair(pm, xp):
-    """(..., 2*nd, npair) -> (..., nd, nc) (reads each cell's live half)."""
+    """(..., 2*nd, npair) -> (..., nd, nc) (reads each cell's live half;
+    interleaved maps: inverse reshape, dead halves land on the pad cells)."""
     nd2 = xp.shape[-2]
     nd = nd2 // 2
     npair = xp.shape[-1]
+    if "cell_col" not in pm:
+        *lead, _, _ = xp.shape
+        a = jnp.moveaxis(xp.reshape(*lead, 2, nd, npair), -3, -1)
+        return a.reshape(*lead, nd, 2 * npair)
     xv = jnp.concatenate([xp[..., :nd, :], xp[..., nd:, :]], axis=-1)
     return xv.at[..., :, pm["cell_col"]].get(mode="promise_in_bounds")
 

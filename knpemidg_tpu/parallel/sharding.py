@@ -326,10 +326,16 @@ def unpad_state(S, state):
     import jax.numpy as jnp
 
     nc = S.n_cells
-    inv = getattr(S, "_cell_perm_inv", None)
     out = dict(state)
+    # interleaved pair layout: pads are interspersed (dead pair halves),
+    # so the one-gather original-id -> padded-slot map applies directly
+    idx = getattr(S, "_cell_unpad_idx", None)
+    inv = getattr(S, "_cell_perm_inv", None)
     for key in ("c", "c_elim", "phi", "phi_prev"):
         if key not in state:
+            continue
+        if idx is not None:
+            out[key] = state[key][..., jnp.asarray(idx)]
             continue
         v = state[key][..., :nc]
         if inv is not None:

@@ -159,18 +159,32 @@ class Solver:
             self._set_membrane_tags(list(self.mms.wall_tags))
         return self
 
-    def enable_pair_layout(self):
+    def enable_pair_layout(self, interleave: bool = True):
         """Switch the iterative Krylov path to the pair-block operator
         layout (ops/pairs.py): 2-cell macro rows whose external neighbor
         gather carries ~25% fewer indices (measured -35.5% per matvec on
         the EMIx mesh) and whose block-Jacobi smoother sees the intra-pair
         coupling.  Fields/rhs stay cell-indexed; each solve converts its
-        vectors once (two ~0.3 ms gathers).
+        vectors once.
+
+        ``interleave`` (default): additionally renumber the cell axis so
+        pair p occupies slots (2p, 2p+1), with inert pad cells (the
+        parallel.sharding.pad_cell_axis convention) as the dead second
+        halves of self-pairs.  The conversions become reshapes and the
+        preconditioner's pair chunks cover exactly the cell layout's
+        contiguous (compartment, Morton) chunk ranges -- the
+        order-by-representative pair sequence cost +11% KNP window
+        iterations from shifted chunk boundaries (ROADMAP round-4).
+        Costs ~4.7% inert cell padding on the EMIx mesh (assembly rows
+        only; the pair count -- and hence every Krylov matvec -- is
+        unchanged).
 
         Supported: degree_emi == degree_knp == 1, mms=None, unsharded.
-        Call AFTER setup_domain and BEFORE attach_pc (the frozen pc data
-        is layout-specific)."""
-        from .ops.pairs import build_pair_maps, pair_maps_to_device
+        Call AFTER setup_FEM_spaces/setup_membrane_model and BEFORE
+        attach_pc (the frozen pc data is layout-specific; the interleave
+        renumbering must see the membrane cell maps)."""
+        from .ops.pairs import (build_pair_maps, interleave_pair_maps,
+                                pair_maps_to_device)
 
         assert self.degree == 1 and self.degree_knp == 1, \
             "pair layout: degree-1 production path only"
@@ -179,9 +193,17 @@ class Solver:
             "pair layout: enable before/instead of sharding (round-4 scope)"
         if self.pairs is None:
             pmh = build_pair_maps(self.geom)
+            npair = int(pmh["int_f"].shape[0])
+            # pair mass from the ORIGINAL numbering (pad cells carry mean
+            # volume but are dead halves -- they must not add mass)
+            vol = np.asarray(self.geom.vol)
+            pair_mass = (vol[pmh["cop"][0]]
+                         + vol[pmh["cop"][1]] * pmh["live1"])
+            if interleave:
+                pmh, perm = interleave_pair_maps(pmh, self.n_cells)
+                self._apply_interleave(perm, npair)
             self.pairs_host = pmh
             self.pairs = pair_maps_to_device(pmh)
-            npair = int(pmh["int_f"].shape[0])
             live = np.ones((2, npair), dtype=bool)
             live[1] = pmh["live1"]
             mask = np.repeat(live, self.nd, axis=0)        # (2nd, npair)
@@ -191,13 +213,65 @@ class Solver:
             self._pair_bj_halves = jnp.asarray(
                 np.kron(np.eye(2), np.ones((self.nd, self.nd)))[:, :, None],
                 dtype=self.dtype)
-            self._pair_mass = jnp.asarray(
-                np.asarray(self.geom.vol)[pmh["cop"][0]]
-                + np.asarray(self.geom.vol)[pmh["cop"][1]] * pmh["live1"],
-                dtype=self.dtype)
+            self._pair_mass = jnp.asarray(pair_mass, dtype=self.dtype)
         self.pair_layout = True
         self._invalidate_caches()
         return self
+
+    def _apply_interleave(self, perm: np.ndarray, npair: int):
+        """Renumber every cell-indexed solver array by the interleaved pair
+        permutation (see enable_pair_layout): pad the cell axis with the
+        self-pair count of inert cells, permute pads into the dead half
+        slots, and remap the initial fields.  Reuses the sharding
+        machinery (pad_cell_axis / permute_cells)."""
+        from .parallel.sharding import pad_cell_axis, permute_cells
+
+        assert hasattr(self, "c_init"), \
+            "pair interleave: call enable_pair_layout after setup_FEM_spaces"
+        nc = self.n_cells
+        extra = 2 * npair - nc
+        pad_cell_axis(self, extra)     # builds _comp_onehot at the real size
+        # _comp_np must match the padded size before permute_cells; pads
+        # are deflation-invisible: zero one-hot columns (pad_cell_axis) and
+        # compartment id -1 so the moment-deflation fields exclude them
+        # (_emi_moment_W / moment_vectors -- a pad assigned to a real
+        # compartment would inject its zeroed node coordinates into that
+        # compartment's moment basis)
+        self._comp_np = np.concatenate(
+            [self._comp_np, np.full(extra, -1, dtype=self._comp_np.dtype)])
+        permute_cells(self, perm)
+        # _comp_onehot/_comp_ids are dropped by enable_pair_layout's final
+        # _invalidate_caches and rebuilt lazily from the padded+permuted
+        # _comp_np (zero columns / id 0 at the -1 pads, _comp_arrays)
+        self._pad_mask = jnp.asarray(perm < nc)
+        self.n_cells_pad = 2 * npair
+        # original cell id -> padded slot (unpad_state, H5 output)
+        self._cell_unpad_idx = self._cell_perm_inv[:nc].copy()
+
+        # initial fields were built at the original size: pad slots take
+        # their live partner's value (any finite value works -- pad rows
+        # are decoupled and their Krylov increments stay exactly zero; the
+        # partner keeps concentrations positive for the stats gates)
+        src = perm.copy()
+        dead = np.flatnonzero(perm >= nc)
+        src[dead] = perm[dead - 1]
+        for name in ("c_init", "c_elim_init", "phi_init"):
+            v = np.asarray(getattr(self, name))
+            setattr(self, name, jnp.asarray(v[..., src], dtype=self.dtype))
+
+        src_j = jnp.asarray(src)
+
+        def pair_state(state):
+            """Map an original-numbering state (e.g. a checkpoint from a
+            non-interleaved run) into the padded interleaved numbering;
+            no-op on already-padded fields."""
+            out = dict(state)
+            for key in ("c", "c_elim", "phi", "phi_prev"):
+                if key in state and state[key].shape[-1] == nc:
+                    out[key] = state[key][..., src_j]
+            return out
+
+        self._shard_state = pair_state
 
     def _set_membrane_tags(self, tags):
         self.tables = build_membrane_tables(self.mesh, tags)
@@ -1069,11 +1143,15 @@ class Solver:
         jnp arrays created while tracing are tracers and must never be
         cached across traces."""
         if not hasattr(self, "_comp_onehot"):
+            # _comp_np may be longer than n_cells and carry -1 entries:
+            # inert pad cells from the interleaved pair renumbering
+            # (_apply_interleave) are deflation-invisible (zero columns)
             comp = self._comp_np
-            oh = np.zeros((int(comp.max()) + 1, self.n_cells))
-            oh[comp, np.arange(self.n_cells)] = 1.0
+            live = comp >= 0
+            oh = np.zeros((int(comp.max()) + 1, comp.shape[0]))
+            oh[comp[live], np.flatnonzero(live)] = 1.0
             self._comp_onehot = oh.astype(np.dtype(jnp.dtype(self.dtype).name))
-            self._comp_ids = comp.astype(np.int32)
+            self._comp_ids = np.where(live, comp, 0).astype(np.int32)
         return self._comp_onehot, self._comp_ids
 
     def _matvec(self, blocks, v):

@@ -20,6 +20,7 @@ from knpemidg_tpu.fem.tabulation import build_geometry
 from knpemidg_tpu.ops import pairs as P
 from knpemidg_tpu.ops.assembly import gather_blocks
 from knpemidg_tpu.ops.spmv import bell_matvec
+from knpemidg_tpu.parallel.sharding import unpad_state
 
 
 def _setups():
@@ -203,6 +204,54 @@ def test_cell_bell_to_pair_matches_pair_emitter(name, mesh, geom):
                                rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.parametrize("name,mesh,geom", SETUPS, ids=[s[0] for s in SETUPS])
+def test_interleave_maps(name, mesh, geom):
+    """Interleaved maps (cells renumbered to (pair, half) order): the
+    reshape conversions and the matvec must agree exactly with the
+    gather-map layout on the permuted operator."""
+    pm0 = P.build_pair_maps(geom)
+    nc = geom.vol.shape[0]
+    npair = pm0["cop"].shape[1]
+    pmi, perm = P.interleave_pair_maps(pm0, nc)
+    # perm is a bijection of the padded slot range; even slots are live
+    assert np.array_equal(np.sort(perm), np.arange(2 * npair))
+    assert np.all(perm[0::2] < nc)
+    assert np.array_equal(perm[1::2] >= nc, ~pm0["live1"])
+    assert "cell_col" not in pmi
+
+    pmd = P.pair_maps_to_device(pmi)
+    rng = np.random.default_rng(5)
+    nd = geom.nd
+    x_old = rng.standard_normal((nd, nc))
+    x_new = np.zeros((nd, 2 * npair))
+    x_new[:, perm < nc] = x_old[:, perm[perm < nc]]
+    xp = P.to_pair(pmd, jnp.asarray(x_new))
+    # half h of pair p is slot 2p+h; dead halves zeroed
+    ref0 = P.to_pair(P.pair_maps_to_device(pm0), jnp.asarray(x_old))
+    np.testing.assert_allclose(np.asarray(xp), np.asarray(ref0),
+                               rtol=0, atol=0)
+    # roundtrip through the reshapes
+    back = np.asarray(P.from_pair(pmd, xp))
+    np.testing.assert_array_equal(back[:, perm < nc], x_old[:, perm[perm < nc]])
+
+    # matvec parity: permuted random operator, dead halves inert
+    A_cell, (Mpp, Mmm, Mpm, Mmp) = _rand_blocks(geom, rng)
+    g = geom.to_device()
+    blocks = gather_blocks(g, A_cell, Mpp, Mpm, Mmp, Mmm)
+    y_ref = bell_matvec(blocks, g["nbr"], jnp.asarray(x_old))
+    # pad + permute the per-cell factor the pair emitter reads
+    A_pad = np.zeros((nd, nd, 2 * npair))
+    A_pad[:, :, perm < nc] = np.asarray(A_cell)[:, :, perm[perm < nc]]
+    gi = dict(g)
+    pd, pe = P.gather_blocks_pair(gi, pmd, jnp.asarray(A_pad),
+                                  Mpp, Mpm, Mmp, Mmm)
+    yp = P.pair_matvec(pd, pe, pmd, xp)
+    y = np.asarray(P.from_pair(pmd, yp))
+    np.testing.assert_allclose(y[:, perm < nc],
+                               np.asarray(y_ref)[:, perm[perm < nc]],
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_pair_layout_full_step_parity_2d():
     """One fused active step on the 2D app with and without the pair
     layout: same physics to solver tolerance, preconditioner data in pair
@@ -224,6 +273,7 @@ def test_pair_layout_full_step_parity_2d():
     npair = int(S1.pairs["int_f"].shape[0])
     assert st1["pc"]["emi"]["mom_W"].shape[-2:] == (2 * S1.nd, npair)
     out1, stats1 = S1.fused_step(sp)(st1)
+    out1 = unpad_state(S1, out1)      # interleaved: padded + permuted cells
 
     assert bool(np.all(np.asarray(stats1["emi_converged"])))
     assert bool(np.all(np.asarray(stats1["knp_converged"])))
@@ -236,6 +286,35 @@ def test_pair_layout_full_step_parity_2d():
     np.testing.assert_allclose(np.asarray(out0["phi_M"]),
                                np.asarray(out1["phi_M"]),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_pair_layout_driver_io(tmp_path):
+    """The production driver (solve_system_active + H5 output) under the
+    interleaved pair layout: output fields come back in the ORIGINAL cell
+    numbering (unpad_state through _io_step) and match the cell-layout run
+    to solver tolerance."""
+    from knpemidg_tpu.config import SolverParams
+    from knpemidg_tpu.io.checkpoint import H5Reader
+    from run_2D import build_solver
+
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-8, rtol_knp=1e-8,
+                      max_it_emi=400, max_it_knp=200, gmres_restart=20)
+
+    S0 = build_solver(resolution=0)
+    st0 = S0.solve_system_active(2 * S0.params.dt, 0.0, sp)
+
+    S1 = build_solver(resolution=0).enable_pair_layout()
+    f1 = str(tmp_path / "pair")
+    st1 = S1.solve_system_active(2 * S1.params.dt, 0.0, sp,
+                                 filename=f1, save_fields=True)
+    r = H5Reader(f1 + "results.h5")
+    fr = r.frame(r.n_frames - 1)
+    r.close()
+    nc = S0.n_cells
+    assert fr["phi"].shape[0] == nc          # original numbering, unpadded
+    np.testing.assert_allclose(fr["c"].transpose(0, 2, 1),
+                               np.asarray(st0["c"]), rtol=2e-5, atol=1e-8)
 
 
 def test_pair_layout_multistep_3d_with_ritz():
@@ -267,7 +346,7 @@ def test_pair_layout_multistep_3d_with_ritz():
             state, stats = step(state)
         assert bool(np.all(np.asarray(stats["emi_converged"]))), pair
         assert bool(np.all(np.asarray(stats["knp_converged"]))), pair
-        outs[pair] = state
+        outs[pair] = unpad_state(S, state) if pair else state
 
     np.testing.assert_allclose(np.asarray(outs[False]["c"]),
                                np.asarray(outs[True]["c"]),

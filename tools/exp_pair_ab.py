@@ -61,6 +61,10 @@ def run_one(pair: bool, mesh):
           f"knp={knp.tolist()} total={int(knp.sum())} conv={conv} "
           f"wall {w/N_STEPS*1e3:.1f} ms/step (compile+warm {t_compile:.0f} s)",
           flush=True)
+    if getattr(S, "_cell_unpad_idx", None) is not None:
+        from knpemidg_tpu.parallel.sharding import unpad_state
+
+        out = unpad_state(S, out)     # interleaved pair order
     return emi, knp, w, np.asarray(out["c"])
 
 

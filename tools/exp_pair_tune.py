@@ -51,6 +51,10 @@ def run_one(S, sp, name):
     print(f"{name:22s}: emi_total={int(emi.sum())} knp_total={int(knp.sum())}"
           f" knp={knp.tolist()} conv={conv} wall {w/N_STEPS*1e3:.1f} ms/step",
           flush=True)
+    if getattr(S, "_cell_unpad_idx", None) is not None:
+        from knpemidg_tpu.parallel.sharding import unpad_state
+
+        out = unpad_state(S, out)     # interleaved pair order
     return emi, knp, w, np.asarray(out["c"])
 
 
