@@ -36,10 +36,15 @@ import jax
 import jax.numpy as jnp
 
 
-def build_pair_maps(geom) -> Dict[str, np.ndarray]:
+def build_pair_maps(geom, block: np.ndarray | None = None
+                    ) -> Dict[str, np.ndarray]:
     """Host-side pair maps from a fem.tabulation.Geometry (numpy, pre-
     to_device).  Returns a dict of numpy arrays; ship to device with
     :func:`pair_maps_to_device`.
+
+    ``block`` (nc,) optional group ids (shard assignment): matching is
+    additionally restricted to same-block neighbors so pairs never
+    straddle shard boundaries (parallel/sharding pair mode).
 
     Keys:
       cop      (2, npair) int32   cells of pair (self-pair: both equal)
@@ -62,6 +67,10 @@ def build_pair_maps(geom) -> Dict[str, np.ndarray]:
     tag = np.asarray(geom.cell_tag)
     nc, K1 = cf.shape                              # K1 = d+1 local facets
     nf = int(np.asarray(geom.f_cp).shape[0]) - 1   # dummy facet index
+    if block is not None:
+        # fold the block constraint into the tag comparison
+        tag = tag.astype(np.int64) + np.asarray(block, dtype=np.int64) * (
+            int(tag.max()) + 1)
 
     # --- greedy same-tag matching over the (Morton) cell order ----------
     mate = np.full(nc, -1, dtype=np.int64)
@@ -147,10 +156,12 @@ def build_pair_maps(geom) -> Dict[str, np.ndarray]:
     }
 
 
-def interleave_pair_maps(pm: Dict[str, np.ndarray], nc: int):
+def interleave_pair_maps(pm: Dict[str, np.ndarray], nc: int,
+                         n_shards: int = 1, shard_size: int | None = None,
+                         align: int = 64):
     """Rewrite pair maps for the INTERLEAVED cell order: pair p occupies
-    cell slots (2p, 2p+1), with a fresh inert pad cell (ids nc..) as the
-    dead second half of every self-pair.
+    cell slots (2p, 2p+1), with fresh inert pad cells (ids nc..) as the
+    dead second halves of self-pairs.
 
     Why: with cells renumbered this way, (a) the cell<->pair vector
     conversions become pure reshapes (the gather version costs ~0.3 ms per
@@ -161,6 +172,14 @@ def interleave_pair_maps(pm: Dict[str, np.ndarray], nc: int):
     pair sequence cost +11% KNP window iterations (ROADMAP round-4
     item 10).
 
+    ``n_shards > 1`` (cells already in shard-blocked order of block size
+    ``shard_size``, and the matching built with the matching ``block``
+    constraint): every shard's pair range is padded to a common P
+    (multiple of ``align``) with fully-inert pad PAIRS (both halves pad
+    cells), so the interleaved cell axis splits into n_shards equal
+    contiguous blocks of 2P slots.  The maps then carry ``live0`` (half 0
+    liveness) alongside ``live1``.
+
     Returns ``(new_maps, perm)``: maps valid in the new numbering (with
     ``cell_col`` REMOVED -- its absence is the static marker to_pair /
     from_pair branch on), and the permutation ``perm`` (new slot -> old
@@ -168,30 +187,70 @@ def interleave_pair_maps(pm: Dict[str, np.ndarray], nc: int):
     (parallel.sharding.permute_cells after pad_cell_axis)."""
     cop, live1 = pm["cop"], pm["live1"]
     npair = cop.shape[1]
-    self_ord = np.cumsum(~live1) - 1              # ordinal among self-pairs
-    old1 = np.where(live1, cop[1], nc + self_ord)
-    perm = np.empty(2 * npair, dtype=np.int64)
-    perm[0::2] = cop[0]
-    perm[1::2] = old1
-    inv = np.empty(2 * npair, dtype=np.int64)
-    inv[perm] = np.arange(2 * npair)
+    nf = int(pm["nf"])
+    S = pm["ext_f"].shape[0]
 
-    # external gather columns: recover the old owner cell from the old
-    # (pos, pid) encoding, map through the permutation, re-encode in the
-    # (h * npair + p) convention pair_matvec's flattened source uses
+    if n_shards == 1:
+        P = npair
+        dst = np.arange(npair)
+    else:
+        shard_of = cop[0] // shard_size
+        assert np.array_equal(shard_of, cop[1] // shard_size), \
+            "pairs straddle shards: build_pair_maps needs the block arg"
+        counts = np.bincount(shard_of, minlength=n_shards)
+        P = max(align, -(-int(counts.max()) // align) * align)
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        # pairs arrive sorted by c0, hence shard-major: within-shard
+        # ordinal = global ordinal - shard start
+        dst = shard_of * P + (np.arange(npair) - starts[shard_of])
+    npair_t = n_shards * P
+
+    # --- the cell permutation: new slot -> old id (pads >= nc) ----------
+    perm = np.full(2 * npair_t, -1, dtype=np.int64)
+    perm[2 * dst] = cop[0]
+    perm[2 * dst + 1] = np.where(live1, cop[1], -1)
+    need = np.flatnonzero(perm < 0)
+    perm[need] = nc + np.arange(len(need))
+
+    # --- rebuild the maps on the padded pair axis ------------------------
+    def place(old, fill, dtype=None):
+        out = np.full((*old.shape[:-1], npair_t), fill,
+                      dtype=dtype or old.dtype)
+        out[..., dst] = old
+        return out
+
+    new = {
+        "cop": np.stack([np.arange(0, 2 * npair_t, 2, dtype=np.int32),
+                         np.arange(1, 2 * npair_t, 2, dtype=np.int32)]),
+        "pid": (np.arange(2 * npair_t, dtype=np.int32) // 2),
+        "pos": (np.arange(2 * npair_t, dtype=np.int32) % 2),
+        "live1": place(live1, False),
+        "int_f": place(pm["int_f"], nf),
+        "int_p0": place(pm["int_p0"], False),
+        "int_l": place(pm["int_l"], 0),
+        "ext_f": place(pm["ext_f"], nf),
+        "ext_isp": place(pm["ext_isp"], False),
+        "ext_h": place(pm["ext_h"], 0),
+        "ext_l": place(pm["ext_l"], 0),
+        "nf": pm["nf"],
+    }
+    if n_shards > 1:
+        live0 = np.zeros(npair_t, dtype=bool)
+        live0[dst] = True
+        new["live0"] = live0
+
+    # external gather columns: (h * npair + pid) -> (h * npair_t + dst);
+    # the halves of the referenced cell are preserved by the interleave.
+    # Dummy slots keep pointing at the own pair (their blocks are zero).
     h_old = pm["ext_col"] // npair
     p_old = pm["ext_col"] % npair
-    other_old = cop[h_old, p_old]                  # (S, npair) old cell ids
-    n_new = inv[other_old]
-    ext_col = ((n_new % 2) * npair + n_new // 2).astype(np.int32)
-
-    new = dict(pm)
-    new["cop"] = np.stack([np.arange(0, 2 * npair, 2, dtype=np.int32),
-                           np.arange(1, 2 * npair, 2, dtype=np.int32)])
-    new["pid"] = (np.arange(2 * npair, dtype=np.int32) // 2)
-    new["pos"] = (np.arange(2 * npair, dtype=np.int32) % 2)
-    new["ext_col"] = ext_col
-    del new["cell_col"]                            # reshape path marker
+    ecol = (h_old * npair_t + dst[p_old]).astype(np.int32)
+    self_col = np.broadcast_to(np.arange(npair_t, dtype=np.int32),
+                               (S, npair_t))
+    new["ext_col"] = place(ecol, 0)
+    pad_pairs = np.ones(npair_t, dtype=bool)
+    pad_pairs[dst] = False
+    new["ext_col"][:, pad_pairs] = self_col[:, pad_pairs]
     return new, perm
 
 
@@ -222,8 +281,11 @@ def to_pair(pm, x):
         xr = jnp.moveaxis(x.reshape(*lead, nd, npair, 2), -1, -3)
         out = xr.reshape(*lead, 2 * nd, npair)
         live1 = pm["live1"].astype(x.dtype)
-        mask = jnp.concatenate([jnp.ones((nd, npair), dtype=x.dtype),
-                                jnp.broadcast_to(live1, (nd, npair))])
+        live0 = (pm["live0"].astype(x.dtype) if "live0" in pm
+                 else jnp.ones((), dtype=x.dtype))
+        mask = jnp.concatenate(
+            [jnp.broadcast_to(live0, (nd, npair)),
+             jnp.broadcast_to(live1, (nd, npair))])
         return out * mask
     xg = x[..., :, pm["cop"]]                       # (..., nd, 2, npair)
     h1 = xg[..., :, 1, :] * pm["live1"].astype(x.dtype)
@@ -308,10 +370,13 @@ def gather_blocks_pair(g, pm, A_cell, Mpp, Mpm, Mmp, Mmm,
     M = jnp.stack([Mpp, Mmm, Mpm, Mmp]).reshape(4 * nd * nd, nf1)
 
     live1 = pm["live1"].astype(A_cell.dtype)
+    live0 = pm["live0"].astype(A_cell.dtype) if "live0" in pm else None
     A2 = A_cell.reshape(nd * nd, -1)
     Ah = A2.at[:, pm["cop"]].get(mode="promise_in_bounds")  # (nd*nd, 2, np)
     B00 = Ah[:, 0].reshape(nd, nd, npair)
     B11 = Ah[:, 1].reshape(nd, nd, npair) * live1
+    if live0 is not None:                          # fully-inert pad pairs
+        B00 = B00 * live0
 
     gi = M.at[:, pm["int_f"]].get(mode="promise_in_bounds")
     gi = gi.reshape(4, nd, nd, npair)
@@ -336,6 +401,8 @@ def gather_blocks_pair(g, pm, A_cell, Mpp, Mpm, Mmp, Mmm,
 
     eye = jnp.eye(nd, dtype=A_cell.dtype)[:, :, None]
     B11 = B11 + eye * (dead_identity * (1.0 - live1))
+    if live0 is not None:
+        B00 = B00 + eye * (dead_identity * (1.0 - live0))
     pd = jnp.concatenate(
         [jnp.concatenate([B00, B01], axis=1),
          jnp.concatenate([B10, B11], axis=1)], axis=0)
@@ -354,11 +421,14 @@ def gather_blocks_pair_multi(g, pm, A_cell, Mpp, Mpm, Mmp, Mmm,
         m * 4 * nd * nd, nf1)
 
     live1 = pm["live1"].astype(A_cell.dtype)
+    live0 = pm["live0"].astype(A_cell.dtype) if "live0" in pm else None
     A2 = A_cell.reshape(m * nd * nd, -1)
     Ah = A2.at[:, pm["cop"]].get(mode="promise_in_bounds")
     Ah = Ah.reshape(m, nd, nd, 2, npair)
     B00 = Ah[..., 0, :]
     B11 = Ah[..., 1, :] * live1
+    if live0 is not None:                          # fully-inert pad pairs
+        B00 = B00 * live0
 
     gi = M.at[:, pm["int_f"]].get(mode="promise_in_bounds")
     gi = gi.reshape(m, 4, nd, nd, npair)
@@ -383,6 +453,8 @@ def gather_blocks_pair_multi(g, pm, A_cell, Mpp, Mpm, Mmp, Mmm,
 
     eye = jnp.eye(nd, dtype=A_cell.dtype)[None, :, :, None]
     B11 = B11 + eye * (dead_identity * (1.0 - live1))
+    if live0 is not None:
+        B00 = B00 + eye * (dead_identity * (1.0 - live0))
     pd = jnp.concatenate(
         [jnp.concatenate([B00, B01], axis=2),
          jnp.concatenate([B10, B11], axis=2)], axis=1)
@@ -402,6 +474,9 @@ def pair_block_diag_embed(pm, D_cell, dead_identity: float = 0.0):
     B11 = Ah[:, 1].reshape(nd, nd, npair) * live1
     eye = jnp.eye(nd, dtype=D_cell.dtype)[:, :, None]
     B11 = B11 + eye * (dead_identity * (1.0 - live1))
+    if "live0" in pm:                              # fully-inert pad pairs
+        live0 = pm["live0"].astype(D_cell.dtype)
+        B00 = B00 * live0 + eye * (dead_identity * (1.0 - live0))
     z = jnp.zeros_like(B00)
     return jnp.concatenate(
         [jnp.concatenate([B00, z], axis=1),
@@ -435,10 +510,13 @@ def cell_bell_to_pair(pm, blocks, dead_identity: float = 0.0):
     *lead, K, nd, _, nc = blocks.shape
     npair = pm["int_f"].shape[0]
     live1 = pm["live1"].astype(blocks.dtype)
+    live0 = pm["live0"].astype(blocks.dtype) if "live0" in pm else None
     c0, c1 = pm["cop"][0], pm["cop"][1]
 
     B00 = blocks[..., 0, :, :, :][..., c0]
     B11 = blocks[..., 0, :, :, :][..., c1] * live1
+    if live0 is not None:                          # fully-inert pad pairs
+        B00 = B00 * live0
 
     # flatten (K, nc) into one gather axis: column = l * nc + c
     Bf = jnp.moveaxis(blocks, -4, -1)               # (..., nd, nd, nc, K)
@@ -453,6 +531,8 @@ def cell_bell_to_pair(pm, blocks, dead_identity: float = 0.0):
     B10 = slot_at(pm["int_l"][1], c1) * live1
     eye = jnp.eye(nd, dtype=blocks.dtype)[:, :, None]
     B11 = B11 + eye * (dead_identity * (1.0 - live1))
+    if live0 is not None:
+        B00 = B00 + eye * (dead_identity * (1.0 - live0))
     pd = jnp.concatenate(
         [jnp.concatenate([B00, B01], axis=-2),
          jnp.concatenate([B10, B11], axis=-2)], axis=-3)

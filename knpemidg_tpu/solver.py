@@ -201,10 +201,12 @@ class Solver:
                          + vol[pmh["cop"][1]] * pmh["live1"])
             if interleave:
                 pmh, perm = interleave_pair_maps(pmh, self.n_cells)
-                self._apply_interleave(perm, npair)
+                self._apply_interleave(perm)
             self.pairs_host = pmh
             self.pairs = pair_maps_to_device(pmh)
+            npair = int(pmh["int_f"].shape[0])   # shard mode pads pairs
             live = np.ones((2, npair), dtype=bool)
+            live[0] = pmh.get("live0", True)
             live[1] = pmh["live1"]
             mask = np.repeat(live, self.nd, axis=0)        # (2nd, npair)
             self._pair_mask = jnp.asarray(mask)
@@ -218,18 +220,18 @@ class Solver:
         self._invalidate_caches()
         return self
 
-    def _apply_interleave(self, perm: np.ndarray, npair: int):
+    def _apply_interleave(self, perm: np.ndarray):
         """Renumber every cell-indexed solver array by the interleaved pair
         permutation (see enable_pair_layout): pad the cell axis with the
-        self-pair count of inert cells, permute pads into the dead half
-        slots, and remap the initial fields.  Reuses the sharding
-        machinery (pad_cell_axis / permute_cells)."""
+        inert cells the permutation references (ids >= n_cells), permute
+        pads into the dead half slots, and remap the initial fields.
+        Reuses the sharding machinery (pad_cell_axis / permute_cells)."""
         from .parallel.sharding import pad_cell_axis, permute_cells
 
         assert hasattr(self, "c_init"), \
             "pair interleave: call enable_pair_layout after setup_FEM_spaces"
         nc = self.n_cells
-        extra = 2 * npair - nc
+        extra = len(perm) - nc
         pad_cell_axis(self, extra)     # builds _comp_onehot at the real size
         # _comp_np must match the padded size before permute_cells; pads
         # are deflation-invisible: zero one-hot columns (pad_cell_axis) and
@@ -244,7 +246,7 @@ class Solver:
         # _invalidate_caches and rebuilt lazily from the padded+permuted
         # _comp_np (zero columns / id 0 at the -1 pads, _comp_arrays)
         self._pad_mask = jnp.asarray(perm < nc)
-        self.n_cells_pad = 2 * npair
+        self.n_cells_pad = len(perm)
         # original cell id -> padded slot (unpad_state, H5 output)
         self._cell_unpad_idx = self._cell_perm_inv[:nc].copy()
 
