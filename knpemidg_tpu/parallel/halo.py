@@ -87,6 +87,99 @@ def build_halo(nbr: np.ndarray, n_devices: int, align: int = 128
     }
 
 
+def build_halo_pair(ext_col: np.ndarray, n_devices: int, P: int
+                    ) -> Dict[str, np.ndarray]:
+    """Static halo metadata for the PAIR-block matvec (ops/pairs.py).
+
+    ``ext_col`` (S, npair_t): h-major half columns (h * npair_t + p) of
+    the external gather, with pairs already shard-blocked into
+    ``n_devices`` contiguous ranges of ``P`` (interleave_pair_maps with
+    n_shards > 1).  The exchange unit is a PAIR -- both halves of a
+    boundary pair ride one pool entry, so the collective volume is the
+    same per-cell volume as the cell halo at half the entry count.
+
+    Returns ``send_idx`` (n_devices, B) local PAIR indices,
+    ``ext_local`` (n_devices, S, P): gather columns into the per-shard
+    source ``concat([local h-major (nd, 2P), pool (nd, 2 n B)], axis=-1)``
+    with pool columns ``2P + 2*(owner*B + rank) + h``."""
+    ext_col = np.asarray(ext_col)
+    S_, npair_t = ext_col.shape
+    assert npair_t == n_devices * P
+    pid = ext_col % npair_t
+    h = ext_col // npair_t
+    owner = pid // P
+    row_owner = np.broadcast_to(np.arange(npair_t) // P, pid.shape)
+    remote = owner != row_owner
+    send_lists = [np.unique(pid[remote & (owner == q)]) - q * P
+                  for q in range(n_devices)]
+    B = max(8, _round_up(max(len(s) for s in send_lists), 8))
+    send_idx = np.zeros((n_devices, B), dtype=np.int32)
+    counts = np.zeros(n_devices, dtype=np.int32)
+    pool_pos = np.full(npair_t, -1, dtype=np.int64)
+    for q, s in enumerate(send_lists):
+        send_idx[q, : len(s)] = s
+        counts[q] = len(s)
+        pool_pos[q * P + s] = q * B + np.arange(len(s))
+    local_col = h * P + (pid - row_owner * P)
+    remote_col = 2 * P + 2 * pool_pos[pid] + h
+    ext_local = np.where(remote, remote_col, local_col)
+    assert (ext_local >= 0).all(), "pair halo remap missed an entry"
+    ext_local = ext_local.reshape(S_, n_devices, P).transpose(1, 0, 2)
+    return {"P": P, "B": B, "send_idx": send_idx,
+            "ext_local": ext_local.astype(np.int32), "counts": counts}
+
+
+def halo_pair_spmv_fn(halo, mesh: DeviceMesh, axis: str = "cells"):
+    """Pair-block matvec with explicit halo exchange under shard_map:
+    ``mv(arrays, pd, pe, xp) -> y`` for ``pd`` (m?, 2nd, 2nd, npair_t),
+    ``pe`` (m?, S, 2nd, nd, npair_t), ``xp`` (m?, 2nd, npair_t), all
+    sharded on the trailing pair axis.  See halo_spmv_fn for why the
+    metadata travels as arrays."""
+    Pp = int(halo["P"])
+    arrays = {
+        "send_idx": jax.device_put(
+            jnp.asarray(halo["send_idx"]), NamedSharding(mesh, P(axis, None))),
+        "ext_local": jax.device_put(
+            jnp.asarray(halo["ext_local"]),
+            NamedSharding(mesh, P(axis, None, None))),
+    }
+
+    def body(ext_p, send_p, pd, pe, xp):
+        # local shapes: ext_p (1, S, P), send_p (1, B), pd (m, 2nd, 2nd, P),
+        # pe (m, S, 2nd, nd, P), xp (m, 2nd, P)
+        ext_p, send_p = ext_p[0], send_p[0]
+        m, nd2, _ = xp.shape
+        nd = nd2 // 2
+        y = jnp.einsum("mijp,mjp->mip", pd, xp)
+        send = xp[:, :, send_p]                           # (m, 2nd, B)
+        pool = jax.lax.all_gather(send, axis, axis=0, tiled=False)
+        n, _, _, B = pool.shape
+        pool = pool.reshape(n, m, 2, nd, B)
+        pool = jnp.transpose(pool, (1, 3, 0, 4, 2)).reshape(m, nd, n * B * 2)
+        xv = xp.reshape(m, 2, nd, Pp).transpose(0, 2, 1, 3).reshape(
+            m, nd, 2 * Pp)
+        xcat = jnp.concatenate([xv, pool], axis=2)
+        xe = xcat.at[:, :, ext_p].get(mode="promise_in_bounds")
+        return y + jnp.einsum("msijp,mjsp->mip", pe, xe)
+
+    def mv(arrays, pd, pe, xp):
+        batched = xp.ndim == 3
+        if not batched:
+            pd, pe, xp = pd[None], pe[None], xp[None]
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis, None, None), P(axis, None),
+                      P(None, None, None, axis),
+                      P(None, None, None, None, axis),
+                      P(None, None, axis)),
+            out_specs=P(None, None, axis),
+        )
+        y = f(arrays["ext_local"], arrays["send_idx"], pd, pe, xp)
+        return y if batched else y[0]
+
+    return arrays, mv
+
+
 def halo_spmv_fn(halo, mesh: DeviceMesh, axis: str = "cells"):
     """Return ``(halo_arrays, mv)``: the block-ELL matvec with explicit
     halo exchange under ``shard_map``, called as

@@ -202,23 +202,31 @@ class Solver:
             if interleave:
                 pmh, perm = interleave_pair_maps(pmh, self.n_cells)
                 self._apply_interleave(perm)
-            self.pairs_host = pmh
-            self.pairs = pair_maps_to_device(pmh)
-            npair = int(pmh["int_f"].shape[0])   # shard mode pads pairs
-            live = np.ones((2, npair), dtype=bool)
-            live[0] = pmh.get("live0", True)
-            live[1] = pmh["live1"]
-            mask = np.repeat(live, self.nd, axis=0)        # (2nd, npair)
-            self._pair_mask = jnp.asarray(mask)
-            # (2nd, 2nd, 1) mask selecting the two per-cell diagonal
-            # sub-blocks (the 'halves' pair_bj variant)
-            self._pair_bj_halves = jnp.asarray(
-                np.kron(np.eye(2), np.ones((self.nd, self.nd)))[:, :, None],
-                dtype=self.dtype)
-            self._pair_mass = jnp.asarray(pair_mass, dtype=self.dtype)
+            self._finalize_pair_setup(pmh, pair_mass)
+        return self
+
+    def _finalize_pair_setup(self, pmh, pair_mass: np.ndarray):
+        """Install pair maps + derived masks on the solver (shared by
+        enable_pair_layout and parallel.sharding.shard_solver's pair
+        mode)."""
+        from .ops.pairs import pair_maps_to_device
+
+        self.pairs_host = pmh
+        self.pairs = pair_maps_to_device(pmh)
+        npair = int(pmh["int_f"].shape[0])       # shard mode pads pairs
+        live = np.ones((2, npair), dtype=bool)
+        live[0] = pmh.get("live0", True)
+        live[1] = pmh["live1"]
+        mask = np.repeat(live, self.nd, axis=0)            # (2nd, npair)
+        self._pair_mask = jnp.asarray(mask)
+        # (2nd, 2nd, 1) mask selecting the two per-cell diagonal
+        # sub-blocks (the 'halves' pair_bj variant)
+        self._pair_bj_halves = jnp.asarray(
+            np.kron(np.eye(2), np.ones((self.nd, self.nd)))[:, :, None],
+            dtype=self.dtype)
+        self._pair_mass = jnp.asarray(pair_mass, dtype=self.dtype)
         self.pair_layout = True
         self._invalidate_caches()
-        return self
 
     def _apply_interleave(self, perm: np.ndarray):
         """Renumber every cell-indexed solver array by the interleaved pair
@@ -232,6 +240,10 @@ class Solver:
             "pair interleave: call enable_pair_layout after setup_FEM_spaces"
         nc = self.n_cells
         extra = len(perm) - nc
+        # composition: under sharding a shard-block permutation has already
+        # been applied, so `perm` values are ids in THAT numbering
+        prev_perm = getattr(self, "_cell_perm", None)
+        prev_inv = getattr(self, "_cell_perm_inv", None)
         pad_cell_axis(self, extra)     # builds _comp_onehot at the real size
         # _comp_np must match the padded size before permute_cells; pads
         # are deflation-invisible: zero one-hot columns (pad_cell_axis) and
@@ -248,15 +260,21 @@ class Solver:
         self._pad_mask = jnp.asarray(perm < nc)
         self.n_cells_pad = len(perm)
         # original cell id -> padded slot (unpad_state, H5 output)
-        self._cell_unpad_idx = self._cell_perm_inv[:nc].copy()
+        inv2 = self._cell_perm_inv
+        self._cell_unpad_idx = (inv2[prev_inv[:nc]] if prev_inv is not None
+                                else inv2[:nc].copy())
 
         # initial fields were built at the original size: pad slots take
-        # their live partner's value (any finite value works -- pad rows
-        # are decoupled and their Krylov increments stay exactly zero; the
-        # partner keeps concentrations positive for the stats gates)
+        # their live partner's value if it is live, else cell 0 (any
+        # finite value works -- pad rows are decoupled and their Krylov
+        # increments stay exactly zero; a live source keeps concentrations
+        # positive for the stats gates)
         src = perm.copy()
-        dead = np.flatnonzero(perm >= nc)
-        src[dead] = perm[dead - 1]
+        partner = perm[np.arange(len(perm)) ^ 1]   # the other pair half
+        dead = perm >= nc
+        src[dead] = np.where(partner[dead] < nc, partner[dead], 0)
+        if prev_perm is not None:                  # compose to ORIGINAL ids
+            src = prev_perm[src]
         for name in ("c_init", "c_elim_init", "phi_init"):
             v = np.asarray(getattr(self, name))
             setattr(self, name, jnp.asarray(v[..., src], dtype=self.dtype))
@@ -650,7 +668,10 @@ class Solver:
 
             pm = self.pairs
             pd_, pe_ = blocks
-            mv = lambda v: pair_matvec(pd_, pe_, pm, v)
+            hmv = getattr(self, "_halo_pair_mv", None)
+            mv = ((lambda v: hmv(self._halo_pair_data, pd_, pe_, v))
+                  if hmv is not None
+                  else (lambda v: pair_matvec(pd_, pe_, pm, v)))
             # one stacked conversion gather for every cell-layout vector
             stackc = [rhs, phi] + ([phi_prev] if phi_prev is not None else [])
             sp_stack = to_pair(pm, jnp.stack(stackc))
@@ -795,7 +816,10 @@ class Solver:
 
             pm = self.pairs
             pdK, peK = blocksK
-            mv = lambda V: pair_matvec_multi(pdK, peK, pm, V)
+            hmv = getattr(self, "_halo_pair_mv", None)
+            mv = ((lambda V: hmv(self._halo_pair_data, pdK, peK, V))
+                  if hmv is not None
+                  else (lambda V: pair_matvec_multi(pdK, peK, pm, V)))
             agg_p = sp_.agg_size // 2
             conv = to_pair(pm, jnp.stack([rhsK, c]))
             rhs_p, c_p = conv[0], conv[1]
@@ -1079,7 +1103,8 @@ class Solver:
     # TPU compiler constant-fold them for minutes (and risks its request
     # size limit); as parameters the programs stay small and compile fast.
     _AUX_FIELDS = ("g", "masks", "D", "z", "rho", "mem_dev", "g2", "mem_dev2",
-                   "_halo_data", "pairs", "_pair_mask", "_pair_mass")
+                   "_halo_data", "_halo_pair_data", "pairs", "_pair_mask",
+                   "_pair_mass")
 
     def _aux_pytree(self):
         aux = {}
@@ -1187,8 +1212,11 @@ class Solver:
                                         pair_nbr, pair_v_sums)
 
                 pd_, pe_ = blocks
-                mv = ((lambda v: pair_matvec(pd_, pe_, self.pairs, v))
-                      if kind == "two_level_mult" else None)
+                hmv = getattr(self, "_halo_pair_mv", None)
+                pmv = ((lambda v: hmv(self._halo_pair_data, pd_, pe_, v))
+                       if hmv is not None
+                       else (lambda v: pair_matvec(pd_, pe_, self.pairs, v)))
+                mv = pmv if kind == "two_level_mult" else None
                 agg_p = sp_.agg_size // 2          # chunks stay agg_size CELLS
                 # the chunk-coarse prolong broadcasts into DEAD self-pair
                 # halves; left unmasked, dead(p) pollutes <p, A p> through
@@ -1301,6 +1329,13 @@ class Solver:
                 # on hardware, which is why emi_ritz looked marginal)
                 if pair:
                     agg_p = sp_.agg_size // 2
+
+                    def _pmv(bp, v):
+                        hmv = getattr(self, "_halo_pair_mv", None)
+                        if hmv is not None:      # sharded pair path
+                            return hmv(self._halo_pair_data, bp[0], bp[1], v)
+                        return _pairs.pair_matvec(bp[0], bp[1], self.pairs, v)
+
                     harvest = self._jit(
                         ("pc_ritz_W_pair", sp_.agg_size, sp_.emi_ritz),
                         lambda bp, Pd_, data, r: ritz_lanczos_W(
@@ -1308,8 +1343,7 @@ class Solver:
                             two_level_apply_fn(data, Pd_, agg_p),
                             _pairs.to_pair(self.pairs, r),
                             n_ritz=sp_.emi_ritz,
-                            matvec=lambda v: _pairs.pair_matvec(
-                                bp[0], bp[1], self.pairs, v),
+                            matvec=lambda v: _pmv(bp, v),
                             mask=self._pair_mask),
                     )
                     W_pair = harvest(blocks, Pd, pc["emi"], rhs)

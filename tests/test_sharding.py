@@ -252,3 +252,50 @@ def test_shard_solver_mixed_degrees():
         np.asarray(out_ref["phi_M"]), np.asarray(out_sh["phi_M"]),
         rtol=1e-4, atol=1e-7,
     )
+
+
+def test_shard_solver_pair_consistency():
+    """Sharded PAIR-layout step (per-shard matching + interleave + pair
+    halo exchange) matches the unsharded cell-layout step to solver
+    tolerance."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from knpemidg_tpu.config import SolverParams
+    from knpemidg_tpu.parallel.sharding import (device_mesh, shard_solver,
+                                                unpad_state)
+
+    sp = SolverParams(direct_emi=False, direct_knp=False,
+                      rtol_emi=1e-8, rtol_knp=1e-8,
+                      max_it_emi=400, max_it_knp=200, gmres_restart=20)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from run_2D import build_solver
+
+    S_ref = build_solver(resolution=0)
+    out_ref, _ = S_ref.fused_step(sp)(S_ref._initial_state(0.0))
+
+    S_sh = build_solver(resolution=0)
+    mesh = device_mesh(4)
+    shard_state = shard_solver(S_sh, mesh, pair=True)
+    assert S_sh.pair_layout and "live0" in S_sh.pairs
+    state_sh = S_sh.attach_pc(shard_state(S_sh._initial_state(0.0)), sp)
+    # pair pc data shaped over the padded pair axis
+    npair_t = int(S_sh.pairs["int_f"].shape[0])
+    assert npair_t % 4 == 0
+    out_sh, stats = S_sh.fused_step(sp)(state_sh)
+    assert bool(np.all(np.asarray(stats["emi_converged"])))
+    assert bool(np.all(np.asarray(stats["knp_converged"])))
+    out_sh = unpad_state(S_sh, out_sh)
+
+    np.testing.assert_allclose(
+        np.asarray(out_ref["c"]), np.asarray(out_sh["c"]), rtol=5e-5,
+        atol=1e-8
+    )
+    phi0 = np.asarray(out_ref["phi"], np.float64)
+    phi1 = np.asarray(out_sh["phi"], np.float64)
+    np.testing.assert_allclose(phi0 - phi0.mean(), phi1 - phi1.mean(),
+                               rtol=0, atol=5e-5 * np.abs(phi0).max())
+    np.testing.assert_allclose(np.asarray(out_ref["phi_M"]),
+                               np.asarray(out_sh["phi_M"]),
+                               rtol=1e-4, atol=1e-8)
