@@ -66,14 +66,36 @@ def bell_matvec_fan(blocks: jnp.ndarray, nbr: jnp.ndarray,
     Per-SLOT gathers (same total index count as one stacked gather of all
     slots): the stacked form's (m, nd, K-1, nc) intermediate puts small
     axes in the sublane tile and pads 2.8-32x -- 15 GB and a compile OOM
-    at m=45 fields on a 1M-cell mesh (ROADMAP round-4 item 9)."""
+    at m=45 fields on a 1M-cell mesh (ROADMAP round-4 item 9).
+
+    Above ~0.5M cells the (i, j) contraction is additionally UNROLLED into
+    elementwise lane ops: the dot_general form makes XLA materialize a
+    transposed copy of the whole block tensor with nd minor (layout
+    {2,1,3,0}, 32x lane padding = 9.5 GB on a 995k-cell mesh -- the
+    round-4 scaling study's pc-build OOM); 16 broadcast multiplies on
+    (m, nc) lanes need no copy at all.  Below the threshold the einsum
+    stays: the two forms differ at the ulp level, and the downstream f32
+    Lanczos Ritz harvest is chaotic enough that ANY reassociation
+    resamples its deflation quality (measured: the flagship EMIx
+    first-step EMI count moved 94 -> 227 on CPU-f32 from this unroll
+    alone), so the small-mesh path keeps the numerics every recorded
+    benchmark was measured with."""
     m, nd, nc = x.shape
-    y = jnp.einsum("ijc,mjc->mic", blocks[0], x)
+    unroll = nc > (1 << 19)
+
+    def apply_slot(bk, xs):                     # (nd, nd, nc), (m, nd, nc)
+        if not unroll:
+            return jnp.einsum("ijc,mjc->mic", bk, xs)
+        return jnp.stack([
+            sum(bk[i, j][None] * xs[:, j] for j in range(nd))
+            for i in range(nd)
+        ], axis=1)                              # (m, nd, nc)
+
+    y = apply_slot(blocks[0], x)
     xf = x.reshape(m * nd, nc)
     for k in range(1, nbr.shape[0]):
         xg = xf.at[:, nbr[k]].get(mode="promise_in_bounds")
-        y = y + jnp.einsum("ijc,mjc->mic", blocks[k],
-                           xg.reshape(m, nd, nc))
+        y = y + apply_slot(blocks[k], xg.reshape(m, nd, nc))
     return y
 
 

@@ -143,6 +143,26 @@ def moment_vectors(coords, comp, order: int = 2, dtype=None):
     return jnp.asarray(W, dtype=dtype)
 
 
+def _equilibration_scale(d):
+    """rsqrt of a diagonal with an underflow-safe relative floor.
+
+    Exactly-zero diagonal entries occur legitimately: dead padded pair
+    chunks under the sharded pair layout (parallel/sharding.py pads each
+    shard's pair count to a common size) have no live cells at all.  The
+    old floor ``1e-30 * max(d)`` UNDERFLOWS TO ZERO in float32 whenever
+    max(d) < ~1e-8 -- the KNP coarse diagonal is ~vol/dt ~ 1e-11 in the
+    cgs unit system -- and ``rsqrt(0) = inf`` then NaN-poisons the whole
+    coarse inverse through 0*inf (measured: the 8-way sharded pair dryrun's
+    KNP GMRES exited with 0 iterations, unconverged, on CPU-f32; the x64
+    test suite never sees it).  A 1e-12 relative floor clamps only rows
+    that are numerically dead at f32 precision anyway, and the extra
+    ``tiny`` floor keeps an all-dead diagonal finite too."""
+    dmax = jnp.max(d)
+    tiny = jnp.asarray(jnp.finfo(d.dtype).tiny, dtype=d.dtype)
+    floor = jnp.maximum(1e-12 * dmax, tiny)
+    return jax.lax.rsqrt(jnp.maximum(d, floor))
+
+
 def build_moment_deflation(matvec, W, ridge: float = 1e-6, fan=None):
     """Galerkin data for the moment-deflation correction: ``W (nw, nd, nc)``
     deflation fields, ``matvec`` the (current) operator apply on a single
@@ -154,7 +174,7 @@ def build_moment_deflation(matvec, W, ridge: float = 1e-6, fan=None):
     Am = jnp.einsum("wic,vic->wv", W, AW)
     Am = 0.5 * (Am + Am.T)
     dm = jnp.diagonal(Am)
-    sm = jax.lax.rsqrt(jnp.maximum(dm, 1e-30 * jnp.max(dm)))
+    sm = _equilibration_scale(dm)
     As = Am * sm[:, None] * sm[None, :]
     As = As + ridge * jnp.eye(As.shape[0], dtype=As.dtype)
     fac = jax.scipy.linalg.cho_factor(As)
@@ -244,6 +264,22 @@ def ritz_lanczos_W(blocks, nbr, precond, b, k: int = 40, n_ritz: int = 8,
     return W
 
 
+def _host(x, dtype=None):
+    """Device->host pull that also works for multi-process global arrays.
+
+    Under jax.distributed (parallel/multihost.py) the assembled blocks and
+    the harvested Ritz fields are globally sharded across processes, and a
+    plain ``np.asarray`` raises "spans non-addressable devices".  Every
+    process reaches this point collectively (attach_pc is part of the SPMD
+    program), so a process_allgather is safe and hands each process the
+    full global value."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x) if dtype is None else np.asarray(x, dtype=dtype)
+
+
 def ritz_galerkin_host(blocks, nbr, W, ridge: float = 1e-8,
                        project_mean: bool = False, drop_rel: float = 1e-6):
     """HOST-side float64 deflation Galerkin of the Ritz fields.
@@ -270,9 +306,9 @@ def ritz_galerkin_host(blocks, nbr, W, ridge: float = 1e-8,
     ``drop_rel``: fields whose A-energy falls below drop_rel * max are
     ZEROED (W row and its scale), which removes their contribution while
     keeping shapes static for the jitted apply."""
-    B = np.asarray(blocks, dtype=np.float64)          # (K, nd, nd, nc)
-    N = np.asarray(nbr)
-    Wh = np.asarray(W, dtype=np.float64)              # (v, nd, nc)
+    B = _host(blocks, np.float64)                     # (K, nd, nd, nc)
+    N = _host(nbr)
+    Wh = _host(W, np.float64)                         # (v, nd, nc)
     if project_mean:
         Wh = Wh - Wh.mean(axis=(1, 2), keepdims=True)
         nrm = np.sqrt((Wh ** 2).sum(axis=(1, 2), keepdims=True))
@@ -325,7 +361,7 @@ def build_ritz_deflation(blocks, nbr, precond, b, k: int = 40,
 
 def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
                     comp_onehot=None, comp_ids=None, extra_diag=None,
-                    mass_diag=None, v=None):
+                    mass_diag=None, v=None, max_dense: int | None = 4096):
     """Build the *frozen* coarse-level data of the two-level preconditioner:
     the dense equilibrated coarse inverse (and the compartment-deflation
     inverse).  This is the expensive part (a ~(nc/agg)^3 Cholesky + explicit
@@ -340,11 +376,57 @@ def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
     ops.pairs.pair_v_sums (its blocks live in a different shape); then
     ``blocks`` may be None and ``nbr``/chunks index the PAIR axis.
 
+    ``max_dense``: cap on the dense coarse size.  When nc/agg_size exceeds
+    it, the build switches to a THREE-level hierarchy: the level-1 chunk
+    system (size nc/agg_size) is treated by a Jacobi sweep on its
+    cancellation-free diagonal (``d1inv``, no dense matrix is ever formed),
+    and the dense equilibrated inverse moves up to chunks of
+    ``agg_size * k2`` cells with k2 = ceil(n_agg / max_dense) -- a
+    BPX-style additive hierarchy.  Without it, a ~1M-cell mesh at agg 64
+    needs a 15552^2 dense coarse (967 MB + a blocked-Cholesky OOM on v5e,
+    ROADMAP round-4 scaling study), and growing agg_size instead weakens
+    the coarse (EMI window iterations 103 -> 1475 measured at agg 256 on
+    the 995k-tet bundle).
+
     Returns a pytree of arrays usable as a jit argument."""
     if v is None:
-        v = blocks.sum(axis=(1, 2))                 # (K, nc)
+        # unrolled over the tiny (nd, nd) axes: a .sum(axis=(1,2)) reduce
+        # can make XLA transpose-copy the whole block tensor with nd minor
+        # (32x lane padding at ~1M cells); slice-adds on (K, nc) need none
+        nd_b = blocks.shape[1]
+        v = sum(blocks[:, i, j] for i in range(nd_b)
+                for j in range(nd_b))               # (K, nc)
     nc = v.shape[1]
     n_agg = -(-nc // agg_size)
+    if max_dense is not None and n_agg > max_dense:
+        # ---- three-level: Jacobi on the level-1 chunk system + dense at
+        # agg_size*k2 (ceil(ceil(nc/a)/k) == ceil(nc/(a*k)), so the
+        # recursive call's chunks nest exactly: level-1 chunk i belongs to
+        # dense super-chunk i // k2)
+        k2 = -(-n_agg // max_dense)
+        data = build_two_level(None, nbr, agg_size * k2, sym=sym,
+                               comp_onehot=comp_onehot, comp_ids=comp_ids,
+                               extra_diag=extra_diag, mass_diag=mass_diag,
+                               v=v, max_dense=None)
+        pad = n_agg * agg_size - nc
+        agg = jnp.arange(nc + pad, dtype=jnp.int32) // agg_size
+        cross = agg[jnp.pad(nbr, ((0, 0), (0, pad)))] != agg[None, :]
+        vm = jnp.where(cross, jnp.pad(v, ((0, 0), (0, pad))), 0.0)
+        d1 = -vm.sum(axis=0).reshape(n_agg, agg_size).sum(axis=1)
+        if mass_diag is not None:
+            d1 = d1 + jnp.pad(mass_diag, (0, pad)).reshape(
+                n_agg, agg_size).sum(axis=1)
+        if extra_diag is not None:
+            d1 = d1 + jnp.pad(extra_diag.sum(axis=(0, 1)), (0, pad)).reshape(
+                n_agg, agg_size).sum(axis=1)
+        dmax1 = jnp.max(d1)
+        floor1 = jnp.maximum(1e-12 * dmax1,
+                             jnp.asarray(jnp.finfo(d1.dtype).tiny,
+                                         dtype=d1.dtype))
+        # dead padded chunks get an exact zero (their residual is zero too)
+        data["d1inv"] = jnp.where(d1 > floor1,
+                                  1.0 / jnp.maximum(d1, floor1), 0.0)
+        return data
     pad = n_agg * agg_size - nc
     agg = jnp.arange(nc + pad, dtype=jnp.int32) // agg_size
     cross_chunk = agg[jnp.pad(nbr, ((0, 0), (0, pad)))] != agg[None, :]
@@ -370,7 +452,7 @@ def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
         Ac = 0.5 * (Ac + Ac.T)
     rank1 = extra_diag is None and mass_diag is None
     d = jnp.diagonal(Ac)
-    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30 * jnp.max(d)))
+    s = _equilibration_scale(d)
     As = Ac * s[:, None] * s[None, :]
     if rank1:
         As = As + (1.0 / n_agg) * jnp.ones_like(As)
@@ -413,7 +495,7 @@ def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
         if not sym:
             Acomp = 0.5 * (Acomp + Acomp.T)
         dc = jnp.diagonal(Acomp)
-        sc = jax.lax.rsqrt(jnp.maximum(dc, 1e-30 * jnp.max(dc)))
+        sc = _equilibration_scale(dc)
         Asc = Acomp * sc[:, None] * sc[None, :] + (1.0 / n_comp) * jnp.ones(
             (n_comp, n_comp), dtype=Acomp.dtype
         )
@@ -442,17 +524,36 @@ def two_level_apply_fn(data, P_diag, agg_size: int,
     nd = P_diag.shape[0]
     nc = P_diag.shape[2]
     inv, s = data["inv"], data["s"]
-    n_agg = inv.shape[0]
-    pad = n_agg * agg_size - nc
     refine = "As" in data
     As = data.get("As")
 
-    def coarse_solve(rc):
+    def dense_solve(rc):
         rs = s * rc
         z = inv @ rs
         if refine:
             z = z + inv @ (rs - As @ z)
         return s * z
+
+    # three-level (build_two_level max_dense): the cell residual restricts
+    # to n1 level-1 chunks treated by a Jacobi sweep on d1inv, and the
+    # dense solve moves up to n2 = ceil(n1/k2) super-chunks
+    three = "d1inv" in data
+    if three:
+        d1inv = data["d1inv"]
+        n_agg = d1inv.shape[0]
+        n2 = inv.shape[0]
+        k2 = -(-n_agg // n2)
+        pad2 = n2 * k2 - n_agg
+
+        def coarse_solve(rc):
+            rc2 = jnp.pad(rc, (0, pad2)).reshape(n2, k2).sum(axis=1)
+            z2 = dense_solve(rc2)
+            return rc * d1inv + jnp.broadcast_to(
+                z2[:, None], (n2, k2)).reshape(-1)[:n_agg]
+    else:
+        n_agg = inv.shape[0]
+        coarse_solve = dense_solve
+    pad = n_agg * agg_size - nc
 
     comp = "comp_inv" in data
     if comp:
@@ -539,14 +640,33 @@ def two_level_apply_batched(data, P_diag, agg_size: int,
         def one(d, rs):
             nd, nc = rs.shape
             inv, s = d["inv"], d["s"]
-            n_agg = inv.shape[0]
+
+            def dense_solve(rc2):
+                rc2 = s * rc2
+                z2 = inv @ rc2
+                if "As" in d:
+                    z2 = z2 + inv @ (rc2 - d["As"] @ z2)
+                return s * z2
+
+            if "d1inv" in d:               # three-level (build_two_level)
+                d1inv = d["d1inv"]
+                n_agg = d1inv.shape[0]
+                n2 = inv.shape[0]
+                k2 = -(-n_agg // n2)
+                pad2 = n2 * k2 - n_agg
+
+                def coarse_solve(rc1):
+                    zc2 = dense_solve(jnp.pad(rc1, (0, pad2))
+                                      .reshape(n2, k2).sum(axis=1))
+                    return rc1 * d1inv + jnp.broadcast_to(
+                        zc2[:, None], (n2, k2)).reshape(-1)[:n_agg]
+            else:
+                n_agg = inv.shape[0]
+                coarse_solve = dense_solve
             pad = n_agg * agg_size - nc
             rsum = rs.sum(axis=0)
-            rc = s * jnp.pad(rsum, (0, pad)).reshape(n_agg, agg_size).sum(axis=1)
-            z = inv @ rc
-            if "As" in d:
-                z = z + inv @ (rc - d["As"] @ z)
-            z = s * z
+            rc = jnp.pad(rsum, (0, pad)).reshape(n_agg, agg_size).sum(axis=1)
+            z = coarse_solve(rc)
             zf = jnp.broadcast_to(z[:, None], (n_agg, agg_size)).reshape(-1)[:nc]
             out = jnp.broadcast_to(zf[None, :], (nd, nc))
             if "ritz_W" in d:      # per-ion Ritz deflation (knp_ritz)

@@ -85,3 +85,89 @@ def test_emi_ritz_deflation_agrees_and_refresh_reuses_harvest():
     refreshed = S1._refresh_pc(out1, sp_on)
     np.testing.assert_array_equal(
         W0, np.asarray(refreshed["pc"]["emi"]["ritz_W"]))
+
+
+def test_two_level_equilibration_f32_dead_chunks_finite():
+    """f32 regression (round-4 sharded-pair dryrun failure): the coarse
+    equilibration floor must not underflow.  Dead padded pair chunks give
+    EXACTLY-ZERO coarse diagonal rows, and with KNP-sized magnitudes
+    (diag ~ vol/dt ~ 1e-11 cgs) the old ``1e-30 * max(d)`` floor is 0.0f
+    -> rsqrt(0) = inf -> the whole coarse inverse NaN-poisons through
+    0*inf, and the sharded pair KNP GMRES exits at 0 iterations
+    unconverged.  Runs in float32 DTYPE regardless of the x64 test config."""
+    import jax.numpy as jnp
+
+    from knpemidg_tpu.solvers.twolevel import build_two_level
+
+    agg = 4
+    nc = 16                                  # 4 chunks; last chunk dead
+    live = 12
+    rng = np.random.default_rng(0)
+    # 1-ring neighbor structure on a path graph, self at slot 0; inert pad
+    # cells are topologically isolated (live cells never neighbor them),
+    # exactly like the sharded pair layout's padding
+    nbr = np.stack([np.arange(nc),
+                    np.maximum(np.arange(nc) - 1, 0),
+                    np.minimum(np.arange(nc) + 1, nc - 1)])
+    nbr[2, live - 1] = live - 1                # last live cell: self edge
+    nbr[:, live:] = np.arange(live, nc)[None]  # pads only self-reference
+    # off-diagonal value sums (negative, Laplacian-like), zero on dead slots
+    v = np.zeros((3, nc), dtype=np.float32)
+    v[1:, :live] = -1e-11 * (1.0 + rng.random((2, live), dtype=np.float32))
+    v[:, live:] = 0.0
+    mass = np.zeros(nc, dtype=np.float32)
+    mass[:live] = 1e-11
+    data = build_two_level(None, jnp.asarray(nbr), agg, sym=False,
+                           mass_diag=jnp.asarray(mass),
+                           v=jnp.asarray(v))
+    s = np.asarray(data["s"])
+    inv = np.asarray(data["inv"])
+    assert np.isfinite(s).all(), "equilibration scale overflowed (inf)"
+    assert np.isfinite(inv).all(), "coarse inverse NaN-poisoned"
+
+
+def test_three_level_coarse_parity():
+    """build_two_level(max_dense=k) three-level hierarchy: same converged
+    solution as the dense two-level, sane iteration count.  (The three-level
+    engages automatically when nc/agg_size exceeds max_dense -- the ~1M-cell
+    regime where a dense level-1 coarse would OOM; here max_dense is forced
+    tiny so a small problem exercises the same code path.)"""
+    import jax.numpy as jnp
+
+    from knpemidg_tpu.ops.spmv import bell_matvec
+    from knpemidg_tpu.solvers.krylov import pcg
+    from knpemidg_tpu.solvers.twolevel import (build_two_level,
+                                               two_level_apply_fn)
+
+    nc, agg = 512, 8
+    rng = np.random.default_rng(1)
+    nbr = np.stack([np.arange(nc),
+                    np.maximum(np.arange(nc) - 1, 0),
+                    np.minimum(np.arange(nc) + 1, nc - 1)])
+    off = -(0.5 + rng.random((2, nc)))
+    mass = 0.05 * (1.0 + rng.random(nc))
+    # symmetrize the path-graph couplings: A[i,i-1] must equal A[i-1,i]
+    off[0, 1:] = off[1, :-1]
+    off[0, 0] = 0.0
+    off[1, -1] = 0.0
+    diag = mass - off.sum(axis=0)
+    blocks = jnp.asarray(
+        np.stack([diag, off[0], off[1]])[:, None, None, :])  # (3,1,1,nc)
+    nbrj = jnp.asarray(nbr)
+    P_diag = blocks[0]
+    b = jnp.asarray(rng.random((1, nc)))
+    mv = lambda x: bell_matvec(blocks, nbrj, x)
+
+    sols = {}
+    for name, md in [("two", None), ("three", 8)]:
+        data = build_two_level(blocks, nbrj, agg, sym=False,
+                               mass_diag=jnp.asarray(mass), max_dense=md)
+        assert ("d1inv" in data) == (name == "three")
+        pc = two_level_apply_fn(data, P_diag, agg)
+        res = pcg(mv, b, jnp.zeros_like(b), pc,
+                  rtol=1e-10, atol=0.0, max_it=400)
+        assert bool(res.converged), name
+        assert int(res.iters) < 200, (name, int(res.iters))
+        sols[name] = np.asarray(res.x)
+    np.testing.assert_allclose(sols["three"], sols["two"],
+                               rtol=1e-7, atol=1e-10)

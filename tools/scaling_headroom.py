@@ -41,13 +41,13 @@ SIZES = {
 N_STEPS = 10
 REPS = 3
 
-# the two-level coarse solve is DENSE in n_agg = nc/agg_size: at 1M cells
-# the default agg 64 gives a 15552^2 (926 MB) coarse matrix whose blocked
-# Cholesky OOMs the TPU (measured, round 4).  Keep n_agg ~< 4k by scaling
-# the chunk size with the mesh -- the coarse gets weaker (more Krylov
-# iterations), which is exactly the scaling behavior this instrument is
-# meant to expose; a third coarse level is the structural fix.
-AGG = {"r1l2": 64, "r2l2": 256, "r2l4": 512, "r3l1": 1024}
+# agg 64 everywhere: build_two_level's max_dense (default 4096) now
+# switches to a THREE-level hierarchy automatically when nc/agg exceeds
+# it, so the coarse no longer weakens with mesh size.  (The earlier
+# workaround scaled agg with the mesh -- 256 at 995k tets cost EMI window
+# iterations 103 -> 1475, measured; the dense level-1 coarse at agg 64
+# OOMed at 926 MB + blocked-Cholesky workspace.)
+AGG = {"r1l2": 64, "r2l2": 64, "r2l4": 64, "r3l1": 64}
 
 
 def hbm_mb():
