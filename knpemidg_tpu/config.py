@@ -127,6 +127,14 @@ class SolverParams:
     # LATER state is measured harmful (tools/exp_ritz_ab.py: +82% at
     # step 3), so pc refreshes reuse the t=0 harvest.
     emi_ritz: int = 24
+    # Harvest the Ritz fields with a HOST float64 Lanczos
+    # (solvers/twolevel.ritz_lanczos_W_host) instead of the device f32
+    # one.  The f32 recursion is chaotic: ulp-level program changes
+    # (e.g. one reassociated einsum) resample the harvest and move the
+    # flagship first-step EMI count 94 <-> 227; the f64 recursion is
+    # deterministic and cannot collapse onto the nullspace.  Costs one
+    # ~320 MB device->host blocks pull at the initial pc build.
+    emi_ritz_host: bool = False
     # KNP Ritz deflation (experimental, MEASURED AND BURIED): same recipe
     # on the batched KNP operators -- per-ion preconditioned-Krylov
     # harvest at the initial pc build, genuine-f64 host Galerkin,

@@ -39,7 +39,7 @@ from .ops.spmv import (bell_matvec, bell_matvec_fan,
 from .solvers.krylov import bicgstab_batched, gmres, gmres_batched, pcg
 from .solvers import direct as direct_solvers
 from .solvers.twolevel import (build_moment_deflation, ritz_galerkin_host,
-                               ritz_lanczos_W,
+                               ritz_lanczos_W, ritz_lanczos_W_host,
                                build_two_level, compartment_ids,
                                make_two_level, moment_vectors,
                                two_level_apply_batched, two_level_apply_fn)
@@ -1322,6 +1322,47 @@ class Solver:
                 pc["emi"] = dict(pc["emi"], **mom)
             if reuse_ritz:
                 pc["emi"] = dict(pc["emi"], **reuse_ritz)
+            elif getattr(sp_, "emi_ritz", 0) > 0 and getattr(
+                    sp_, "emi_ritz_host", False):
+                # fully-host f64 harvest (deterministic; see config) -- runs
+                # on CELL blocks in both layouts, with a cell two-level +
+                # moment pc mirrored in numpy (twolevel.np_two_level_apply)
+                if pair:
+                    asm_c = self._jit(("asm_emi", self.splitting_scheme,
+                                       False), self._assemble_emi)
+                    blocks_c, rhs_c, Pd_c = asm_c(
+                        state["c"], state["c_elim"], phi_M_pad,
+                        I_ch_tot_pad, state["t"])
+                    build_c = self._jit(
+                        ("pc_emi_cell_harvest", sp_.agg_size),
+                        lambda b, P: build_two_level(
+                            b, self.g["nbr"], sp_.agg_size, sym=True,
+                            comp_onehot=jnp.asarray(comp_onehot),
+                            comp_ids=jnp.asarray(comp_ids),
+                            extra_diag=P - b[0],
+                        ),
+                    )
+                    data_c = build_c(blocks_c, Pd_c)
+                    if sp_.emi_moment_order > 0:
+                        data_c = dict(data_c, **self._emi_moment_data(
+                            blocks_c, sp_))
+                else:
+                    blocks_c, rhs_c, Pd_c = blocks, rhs, Pd
+                    data_c = pc["emi"]
+                W_h = ritz_lanczos_W_host(
+                    blocks_c, self.g["nbr"], data_c, Pd_c, rhs_c,
+                    sp_.agg_size, n_ritz=sp_.emi_ritz)
+                ritz = ritz_galerkin_host(blocks_c, self.g["nbr"], W_h,
+                                          project_mean=True)
+                if pair:
+                    ritz["ritz_W"] = _pairs.to_pair(self.pairs,
+                                                    ritz["ritz_W"])
+                if all(bool(np.isfinite(np.asarray(v)).all())
+                       for v in ritz.values()):
+                    pc["emi"] = dict(pc["emi"], **ritz)
+                else:                                  # pragma: no cover
+                    print(f"{bcolors.WARNING} emi_ritz host harvest "
+                          f"non-finite; disabled {bcolors.ENDC}")
             elif getattr(sp_, "emi_ritz", 0) > 0:
                 # device Lanczos -> host f64 Galerkin: jnp "f64" silently
                 # truncates to f32 on TPU without x64 (round-4 finding --

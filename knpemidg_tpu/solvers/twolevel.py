@@ -280,6 +280,126 @@ def _host(x, dtype=None):
     return np.asarray(x) if dtype is None else np.asarray(x, dtype=dtype)
 
 
+def np_two_level_apply(data, P_diag, agg_size: int):
+    """NUMPY float64 mirror of :func:`two_level_apply_fn` (additive form,
+    incl. compartment / moment / three-level pieces when present in
+    ``data``).  Used by the host Ritz harvest: the f32 device Lanczos is
+    chaotic (ulp-level program changes resample its deflation quality --
+    measured 94 vs 227 first-step EMI iterations on the flagship from one
+    reassociated einsum), while a float64 recursion is deterministic and
+    cannot collapse onto the nullspace."""
+    d = {k: _host(v, np.float64) for k, v in data.items()}
+    Pd = _host(P_diag, np.float64)
+    Pinv = np.linalg.inv(np.moveaxis(Pd, -1, 0))      # (nc, nd, nd)
+    Pinv = np.moveaxis(Pinv, 0, -1)                   # (nd, nd, nc)
+    nd, _, nc = Pd.shape
+    inv, s = d["inv"], d["s"]
+    As = d.get("As")
+
+    def dense_solve(rc):
+        rs = s * rc
+        z = inv @ rs
+        if As is not None:
+            z = z + inv @ (rs - As @ z)
+        return s * z
+
+    if "d1inv" in d:
+        d1inv = d["d1inv"]
+        n_agg = d1inv.shape[0]
+        n2 = inv.shape[0]
+        k2 = -(-n_agg // n2)
+        pad2 = n2 * k2 - n_agg
+
+        def coarse_solve(rc):
+            rc2 = np.pad(rc, (0, pad2)).reshape(n2, k2).sum(axis=1)
+            z2 = dense_solve(rc2)
+            return rc * d1inv + np.repeat(z2, k2)[:n_agg]
+    else:
+        n_agg = inv.shape[0]
+        coarse_solve = dense_solve
+    pad = n_agg * agg_size - nc
+
+    def apply(r):
+        z = np.einsum("ijc,jc->ic", Pinv, r)
+        rs = r.sum(axis=0)
+        rc = np.pad(rs, (0, pad)).reshape(n_agg, agg_size).sum(axis=1)
+        zc = np.repeat(coarse_solve(rc), agg_size)[:nc]
+        if "comp_inv" in d:
+            invc, sc, OH = d["comp_inv"], d["comp_s"], d["comp_onehot"]
+            Asc = d["comp_As"]
+            rsc = sc * (OH @ rs)
+            zco = invc @ rsc
+            zco = zco + invc @ (rsc - Asc @ zco)
+            zc = zc + (sc * zco) @ OH
+        out = z + zc[None, :]
+        if "mom_W" in d:
+            Wm, inv_m, s_m = d["mom_W"], d["mom_inv"], d["mom_s"]
+            rw = s_m * np.einsum("wic,ic->w", Wm, r)
+            out = out + np.einsum("w,wic->ic", s_m * (inv_m @ rw), Wm)
+        if "ritz_W" in d:
+            Wr, inv_r, s_r = d["ritz_W"], d["ritz_inv"], d["ritz_s"]
+            rr = s_r * np.einsum("vic,ic->v", Wr, r)
+            out = out + np.einsum("v,vic->ic", s_r * (inv_r @ rr), Wr)
+        return out
+
+    return apply
+
+
+def ritz_lanczos_W_host(blocks, nbr, data, P_diag, b, agg_size: int,
+                        k: int = 40, n_ritz: int = 8,
+                        project_mean: bool = True):
+    """HOST float64 Ritz harvest: preconditioned Lanczos with full
+    reorthogonalization, numerically deterministic (mirrors
+    :func:`ritz_lanczos_W` but in numpy f64 -- see
+    :func:`np_two_level_apply` for why).  Runs once per pc build, off the
+    hot path; the device pull of blocks (~320 MB on the EMIx mesh) is the
+    dominant cost.  Returns W (n_ritz, nd, nc) numpy f64 -- feed straight
+    to :func:`ritz_galerkin_host`."""
+    B = _host(blocks, np.float64)
+    N = _host(nbr)
+    precond = np_two_level_apply(data, _host(P_diag, np.float64), agg_size)
+
+    def mv(x):
+        y = np.einsum("ijc,jc->ic", B[0], x)
+        for kk in range(1, B.shape[0]):
+            y = y + np.einsum("ijc,jc->ic", B[kk], x[:, N[kk]])
+        return y
+
+    proj = ((lambda v: v - v.mean()) if project_mean else (lambda v: v))
+    r = proj(_host(b, np.float64))
+    z = proj(precond(r))
+    dot = lambda a, c: float(np.einsum("ic,ic->", a, c))
+    beta0 = np.sqrt(max(dot(r, z), 1e-300))
+    shape = r.shape
+    Qr = np.zeros((k, *shape))
+    Qz = np.zeros((k, *shape))
+    Qr[0], Qz[0] = r / beta0, z / beta0
+    alphas = np.zeros(k)
+    betas = np.zeros(k)
+    for j in range(k - 1):
+        w = mv(Qz[j])
+        if j > 0:
+            w = w - betas[j - 1] * Qr[j - 1]
+        a = dot(Qz[j], w)
+        w = w - a * Qr[j]
+        # full reorthogonalization in the M-inner product
+        coef = np.einsum("kic,ic->k", Qz[: j + 1], w)
+        w = w - np.einsum("k,kic->ic", coef, Qr[: j + 1])
+        w = proj(w)
+        z = proj(precond(w))
+        bnew = np.sqrt(max(dot(w, z), 1e-300))
+        alphas[j] = a
+        betas[j] = bnew
+        Qr[j + 1], Qz[j + 1] = w / bnew, z / bnew
+    alphas[k - 1] = dot(Qz[k - 1], mv(Qz[k - 1]))
+    T = (np.diag(alphas) + np.diag(betas[: k - 1], 1)
+         + np.diag(betas[: k - 1], -1))
+    theta, Y = np.linalg.eigh(T)
+    idx = np.argsort(theta)[:n_ritz]
+    W = np.einsum("kv,kic->vic", Y[:, idx], Qz)
+    return W / np.sqrt(np.einsum("vic,vic->v", W, W))[:, None, None]
+
+
 def ritz_galerkin_host(blocks, nbr, W, ridge: float = 1e-8,
                        project_mean: bool = False, drop_rel: float = 1e-6):
     """HOST-side float64 deflation Galerkin of the Ritz fields.

@@ -171,3 +171,40 @@ def test_three_level_coarse_parity():
         sols[name] = np.asarray(res.x)
     np.testing.assert_allclose(sols["three"], sols["two"],
                                rtol=1e-7, atol=1e-10)
+
+
+def test_emi_ritz_host_harvest_agrees():
+    """emi_ritz_host=True (deterministic f64 host Lanczos) is a pc
+    enrichment like the device harvest: converged state matches
+    emi_ritz=0 at solver tolerance, in both operator layouts."""
+    from knpemidg_tpu.config import SolverParams
+    from run_2D import build_solver
+
+    import dataclasses
+
+    sp_off = SolverParams(direct_emi=False, direct_knp=False,
+                          rtol_emi=1e-8, rtol_knp=1e-8,
+                          max_it_emi=300, max_it_knp=150, gmres_restart=10,
+                          emi_ritz=0)
+    sp_on = dataclasses.replace(sp_off, emi_ritz=8, emi_ritz_host=True)
+
+    S0 = build_solver(resolution=0)
+    out0, st0 = S0.fused_step(sp_off)(S0.attach_pc(S0._initial_state(0.0),
+                                                   sp_off))
+
+    for pair in (False, True):
+        S1 = build_solver(resolution=0)
+        if pair:
+            S1.enable_pair_layout()
+        state = S1.attach_pc(S1._initial_state(0.0), sp_on)
+        assert "ritz_W" in state["pc"]["emi"], pair
+        out1, st1 = S1.fused_step(sp_on)(state)
+        if pair:
+            from knpemidg_tpu.parallel.sharding import unpad_state
+
+            out1 = unpad_state(S1, out1)
+        assert bool(np.all(np.asarray(st1["emi_converged"]))), pair
+        assert bool(np.all(np.asarray(st1["knp_converged"]))), pair
+        np.testing.assert_allclose(
+            np.asarray(out0["c"]), np.asarray(out1["c"]),
+            rtol=2e-5, atol=1e-9, err_msg=f"pair={pair}")
