@@ -114,19 +114,22 @@ class SolverParams:
     emi_moment_order: int = 2
     # EMI Ritz deflation: harvest this many approximate small-eigenvalue
     # modes of the preconditioned operator at the INITIAL pc build
-    # (device Lanczos + genuine-f64 host Galerkin; 0 = off).  Default ON
-    # since round 4: with the NULLSPACE-PROJECTED harvest (the f32
-    # Lanczos otherwise collapses onto the EMI constant -- catastrophic
-    # on CPU, see solvers/twolevel.ritz_galerkin_host) n_ritz=24 cuts the
-    # EMIx AP-window EMI iteration total 25% (349 -> 263, spike steps
-    # <= 48) at equal accuracy; n_ritz=16 is measured WORSE than off
-    # (488) -- the harvest quality is erratic below ~24 fields
-    # (tools/exp_ritz_tune.py).  The earlier-round "-43.8%" figure came
-    # from an unprojected harvest whose near-nullspace field happened to
-    # help on TPU rounding and exploded on CPU.  Harvesting again at a
-    # LATER state is measured harmful (tools/exp_ritz_ab.py: +82% at
-    # step 3), so pc refreshes reuse the t=0 harvest.
-    emi_ritz: int = 24
+    # (device Lanczos + genuine-f64 host Galerkin; 0 = off, -1 = AUTO:
+    # 24 on the cell layout, 0 on the pair layout).  The LAYOUT decides
+    # whether deflation pays (tools/exp_ritz_host.py + the cell A/B,
+    # EMIx 14-step window, after the coarse-equilibration underflow fix):
+    #   cell:  ritz0 566 EMI iters / 196 ms/step  vs  ritz24 299 / 162
+    #          (deflation kills the 110-160-iteration spike steps)
+    #   pair:  ritz0 181 / 138.8  vs  ritz24 254-258 / ~146
+    #          (the pair-halves BJ smoother already flattens the spikes;
+    #          the extra additive term UNBALANCES the two-level sum,
+    #          same mechanism as pair_bj='full')
+    # n_ritz=16 is measured WORSE than off on cell (488) -- harvest
+    # quality is erratic below ~24 fields (tools/exp_ritz_tune.py).
+    # Harvesting again at a LATER state is measured harmful
+    # (tools/exp_ritz_ab.py: +82% at step 3), so pc refreshes reuse the
+    # t=0 harvest.
+    emi_ritz: int = -1
     # Harvest the Ritz fields with a HOST float64 Lanczos
     # (solvers/twolevel.ritz_lanczos_W_host) instead of the device f32
     # one.  The f32 recursion is chaotic: ulp-level program changes

@@ -1280,6 +1280,10 @@ class Solver:
         pair = self.pair_layout
         if pair:
             from .ops import pairs as _pairs
+        # emi_ritz -1 = AUTO: deflation pays on the cell layout (566 ->
+        # 299 window iters) and HURTS on the pair layout (181 -> 254) --
+        # measured rationale in config.py
+        n_ritz = sp_.emi_ritz if sp_.emi_ritz >= 0 else (0 if pair else 24)
         pc = {}
         phi_M_pad, I_ch_pad, I_ch_tot_pad = self._pads(state)
         if not sp_.direct_emi and sp_.precond.startswith("two_level"):
@@ -1322,8 +1326,7 @@ class Solver:
                 pc["emi"] = dict(pc["emi"], **mom)
             if reuse_ritz:
                 pc["emi"] = dict(pc["emi"], **reuse_ritz)
-            elif getattr(sp_, "emi_ritz", 0) > 0 and getattr(
-                    sp_, "emi_ritz_host", False):
+            elif n_ritz > 0 and getattr(sp_, "emi_ritz_host", False):
                 # fully-host f64 harvest (deterministic; see config) -- runs
                 # on CELL blocks in both layouts, with a cell two-level +
                 # moment pc mirrored in numpy (twolevel.np_two_level_apply)
@@ -1351,7 +1354,7 @@ class Solver:
                     data_c = pc["emi"]
                 W_h = ritz_lanczos_W_host(
                     blocks_c, self.g["nbr"], data_c, Pd_c, rhs_c,
-                    sp_.agg_size, n_ritz=sp_.emi_ritz)
+                    sp_.agg_size, n_ritz=n_ritz)
                 ritz = ritz_galerkin_host(blocks_c, self.g["nbr"], W_h,
                                           project_mean=True)
                 if pair:
@@ -1363,7 +1366,7 @@ class Solver:
                 else:                                  # pragma: no cover
                     print(f"{bcolors.WARNING} emi_ritz host harvest "
                           f"non-finite; disabled {bcolors.ENDC}")
-            elif getattr(sp_, "emi_ritz", 0) > 0:
+            elif n_ritz > 0:
                 # device Lanczos -> host f64 Galerkin: jnp "f64" silently
                 # truncates to f32 on TPU without x64 (round-4 finding --
                 # the round-3 on-device Galerkin never actually ran in f64
@@ -1378,12 +1381,12 @@ class Solver:
                         return _pairs.pair_matvec(bp[0], bp[1], self.pairs, v)
 
                     harvest = self._jit(
-                        ("pc_ritz_W_pair", sp_.agg_size, sp_.emi_ritz),
+                        ("pc_ritz_W_pair", sp_.agg_size, n_ritz),
                         lambda bp, Pd_, data, r: ritz_lanczos_W(
                             None, None,
                             two_level_apply_fn(data, Pd_, agg_p),
                             _pairs.to_pair(self.pairs, r),
-                            n_ritz=sp_.emi_ritz,
+                            n_ritz=n_ritz,
                             matvec=lambda v: _pmv(bp, v),
                             mask=self._pair_mask),
                     )
@@ -1403,11 +1406,11 @@ class Solver:
                                                     ritz["ritz_W"])
                 else:
                     harvest = self._jit(
-                        ("pc_ritz_W", sp_.agg_size, sp_.emi_ritz),
+                        ("pc_ritz_W", sp_.agg_size, n_ritz),
                         lambda b, Pd_, data, r: ritz_lanczos_W(
                             b, self.g["nbr"],
                             two_level_apply_fn(data, Pd_, sp_.agg_size),
-                            r, n_ritz=sp_.emi_ritz),
+                            r, n_ritz=n_ritz),
                     )
                     ritz_W = harvest(blocks, Pd, pc["emi"], rhs)
                     # project_mean: strip the EMI nullspace (global
