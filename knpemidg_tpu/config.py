@@ -106,7 +106,23 @@ class SolverParams:
     precond_knp: str = ""
     agg_size: int = 64                      # cells per coarse aggregate
     knp_solver: str = "gmres"               # 'gmres' | 'bicgstab' (batched)
-    gmres_orth: str = "cgs2"                # 'cgs2' | 'cgs1' (KNP batched)
+    # 'cgs2' (full-basis CGS2) | 'cgs2c' (chunked CGS2: a while_loop over
+    # 8-row basis chunks bounded at ceil((j+1)/8) reads only the populated
+    # rows -- same projections, ~(j+1)/(m+1) of the HBM traffic) | 'cgs1'
+    # (single pass; counts nearly double at rtol 1e-7 in f32, round 3).
+    # 'cgs2c' is measured and BURIED (tools/exp_cgs2c_ab.py, EMIx 14-step
+    # window): identical KNP counts (406 vs 407) but +3.9% wall -- the
+    # full-basis einsum is dispatch/latency-bound, not bandwidth-bound, so
+    # the chunk loop's overhead eats the traffic savings.
+    gmres_orth: str = "cgs2"                # (KNP batched)
+    # 'replay' (fori_loop over the j stored 2x2 Givens rotations per
+    # Arnoldi step) | 'carry' (carry the accumulated rotation product Q,
+    # apply as one (m+1)^2 GEMV).  'carry' is measured and BURIED
+    # (tools/exp_cgs2c_ab.py): KNP counts +6 and +6.6% wall -- most of the
+    # loss is EMI trajectory noise through the phi_M knife edge (ulp-level
+    # KNP changes resample the EMI spike steps), the rest the Q update's
+    # own dispatches; the replay fori_loop was never the bottleneck.
+    gmres_rot: str = "replay"               # (KNP batched)
     # EMI deflation enrichment: per-compartment polynomial moments of this
     # order join the exact compartment-constant deflation (0 = off).  The
     # membrane surface harmonics they capture dominate the CG count during

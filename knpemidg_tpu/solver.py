@@ -875,6 +875,7 @@ class Solver:
                 rtol=sp_.rtol_knp, atol=sp_.atol_knp,
                 max_it=sp_.max_it_knp, restart=sp_.gmres_restart,
                 b_ref=b_ref, orth=getattr(sp_, "gmres_orth", "cgs2"),
+                rot=getattr(sp_, "gmres_rot", "replay"),
             )
         dx = from_pair(self.pairs, res.x) if pair else res.x
         return c + dx, res.iters, res.converged

@@ -268,6 +268,7 @@ def gmres_batched(
     restart: int = 20,
     b_ref: Optional[jnp.ndarray] = None,
     orth: str = "cgs2",
+    rot: str = "replay",
 ) -> KrylovResult:
     """m independent GMRES solves sharing one Krylov loop.
 
@@ -305,27 +306,42 @@ def gmres_batched(
     max_cycles = -(-max_it // restart)
     m = restart
     rdt = jnp.result_type(b.dtype, jnp.float32)
+    # 'cgs2c': chunked CGS2 -- the basis rows > j are identically zero, so
+    # reading them from HBM every iteration is pure waste; a while_loop over
+    # CH-row chunks bounded at ceil((j+1)/CH) reads only the populated rows.
+    # V's row capacity is padded to a CH multiple so the last chunk's
+    # dynamic_slice never clamps (a clamped overlap would overwrite earlier
+    # Hessenberg entries with re-projection residuals).
+    CH = 8
+    Mrows = (-(-(m + 1) // CH)) * CH if orth == "cgs2c" else m + 1
 
     def cycle(x):
         r = res_of(x)
         beta = norms(r)
         safe = jnp.where(beta > 0, beta, 1.0)
-        V = jnp.zeros((mb, m + 1, n), dtype=b.dtype)
+        V = jnp.zeros((mb, Mrows, n), dtype=b.dtype)
         V = V.at[:, 0].set(r / safe[:, None])
         R = jnp.zeros((mb, m + 1, m), dtype=rdt)
         g = jnp.zeros((mb, m + 1), dtype=rdt).at[:, 0].set(beta.astype(rdt))
         cs = jnp.zeros((mb, m), dtype=rdt)
         sn = jnp.zeros((mb, m), dtype=rdt)
+        # rot='carry': accumulated rotation product Q = G_j ... G_1 carried
+        # as a small dense (m+1, m+1) per system; applying it to the new
+        # Hessenberg column is ONE tiny GEMV instead of replaying j stored
+        # 2x2 rotations through an m-step fori_loop (~8 sequential ops per
+        # rotation -- dispatch-latency-bound inside the TPU while_loop)
+        Q = (jnp.zeros((mb, m + 1, m + 1), dtype=rdt)
+             + jnp.eye(m + 1, dtype=rdt)[None])
         ks = jnp.zeros(mb, dtype=jnp.int32)           # per-system step count
 
         def arnoldi_cond(st):
-            j, V, R, g, cs, sn, ks = st
+            j, V, R, g, cs, sn, Q, ks = st
             est = jnp.abs(jax.lax.dynamic_index_in_dim(g, j, axis=1,
                                                        keepdims=False))
             return (j < m) & jnp.any(est > tol)
 
         def arnoldi_body(st):
-            j, V, R, g, cs, sn, ks = st
+            j, V, R, g, cs, sn, Q, ks = st
             gj = jax.lax.dynamic_index_in_dim(g, j, axis=1, keepdims=False)
             live = jnp.abs(gj) > tol                  # (mb,) systems stepping
             ks = ks + live.astype(jnp.int32)
@@ -338,13 +354,41 @@ def gmres_batched(
             # ~240 MB at restart 30), and with a good preconditioner and
             # O(10-40) iteration counts single CGS stays stable (the
             # once-per-cycle true-residual restart bounds any drift)
-            h1 = jnp.einsum("skn,sn->sk", V, w)
-            w = w - jnp.einsum("sk,skn->sn", h1, V)
-            if orth == "cgs2":
-                h2 = jnp.einsum("skn,sn->sk", V, w)
-                w = w - jnp.einsum("sk,skn->sn", h2, V)
+            if orth == "cgs2c":
+                # chunked block-MGS passes: identical projections in exact
+                # arithmetic (rows > j are zero), ~(j+1)/(m+1) of the HBM
+                # traffic; block-sequential subtraction is if anything more
+                # stable than plain CGS, and the second pass keeps CGS2's
+                # reorthogonalization guarantee
+                nch = j // CH + 1             # ceil((j+1)/CH)
+
+                def cgs_pass(w):
+                    def chunk(st):
+                        i, w, h = st
+                        Vc = jax.lax.dynamic_slice_in_dim(
+                            V, i * CH, CH, axis=1)          # (mb, CH, n)
+                        hc = jnp.einsum("scn,sn->sc", Vc, w)
+                        w = w - jnp.einsum("sc,scn->sn", hc, Vc)
+                        h = jax.lax.dynamic_update_slice_in_dim(
+                            h, hc, i * CH, axis=1)
+                        return (i + 1, w, h)
+
+                    _, w, h = jax.lax.while_loop(
+                        lambda st: st[0] < nch, chunk,
+                        (jnp.int32(0), w,
+                         jnp.zeros((mb, Mrows), dtype=w.dtype)))
+                    return w, h[:, :m + 1]
+
+                w, h1 = cgs_pass(w)
+                w, h2 = cgs_pass(w)
             else:
-                h2 = jnp.zeros_like(h1)
+                h1 = jnp.einsum("skn,sn->sk", V, w)
+                w = w - jnp.einsum("sk,skn->sn", h1, V)
+                if orth == "cgs2":
+                    h2 = jnp.einsum("skn,sn->sk", V, w)
+                    w = w - jnp.einsum("sk,skn->sn", h2, V)
+                else:
+                    h2 = jnp.zeros_like(h1)
             hj1 = norms(w)
             vnext = jnp.where((hj1 > 1e-300)[:, None],
                               w / jnp.where(hj1 > 0, hj1, 1.0)[:, None], 0.0)
@@ -353,13 +397,17 @@ def gmres_batched(
             h = (h1 + h2).astype(rdt)
             h = jax.vmap(lambda hs, v: hs.at[j + 1].set(v))(
                 h, hj1.astype(rdt))
-            def rot(i, h):
-                keep = i < j
-                hi = cs[:, i] * h[:, i] + sn[:, i] * h[:, i + 1]
-                hi1 = -sn[:, i] * h[:, i] + cs[:, i] * h[:, i + 1]
-                h = h.at[:, i].set(jnp.where(keep, hi, h[:, i]))
-                return h.at[:, i + 1].set(jnp.where(keep, hi1, h[:, i + 1]))
-            h = jax.lax.fori_loop(0, m, rot, h)
+            if rot == "carry":
+                h = jnp.einsum("sij,sj->si", Q, h)
+            else:
+                def rot_replay(i, h):
+                    keep = i < j
+                    hi = cs[:, i] * h[:, i] + sn[:, i] * h[:, i + 1]
+                    hi1 = -sn[:, i] * h[:, i] + cs[:, i] * h[:, i + 1]
+                    h = h.at[:, i].set(jnp.where(keep, hi, h[:, i]))
+                    return h.at[:, i + 1].set(
+                        jnp.where(keep, hi1, h[:, i + 1]))
+                h = jax.lax.fori_loop(0, m, rot_replay, h)
             hj = jax.lax.dynamic_index_in_dim(h, j, axis=1, keepdims=False)
             hjp = jax.lax.dynamic_index_in_dim(h, j + 1, axis=1,
                                                keepdims=False)
@@ -372,6 +420,15 @@ def gmres_batched(
             s_new = jnp.where(live, s_new, 0.0)
             cs = cs.at[:, j].set(c_new)
             sn = sn.at[:, j].set(s_new)
+            if rot == "carry":
+                qj = jax.lax.dynamic_index_in_dim(Q, j, axis=1,
+                                                  keepdims=False)
+                qj1 = jax.lax.dynamic_index_in_dim(Q, j + 1, axis=1,
+                                                   keepdims=False)
+                Q = jax.vmap(lambda Qs, a, bb: Qs.at[j].set(a)
+                             .at[j + 1].set(bb))(
+                    Q, c_new[:, None] * qj + s_new[:, None] * qj1,
+                    -s_new[:, None] * qj + c_new[:, None] * qj1)
             h = jax.vmap(lambda hs, d: hs.at[j].set(d).at[j + 1].set(0.0))(
                 h, jnp.where(live, denom, hj))
             gnew_j1 = -s_new * gj
@@ -380,11 +437,11 @@ def gmres_batched(
             g = g.at[:, j].set(jnp.where(live, gnew_j, gj))
             R = jax.vmap(lambda Rs, hs, lv: Rs.at[:, j].set(
                 jnp.where(lv, hs, Rs[:, j])))(R, h, live)
-            return (j + 1, V, R, g, cs, sn, ks)
+            return (j + 1, V, R, g, cs, sn, Q, ks)
 
-        j, V, R, g, cs, sn, ks = jax.lax.while_loop(
+        j, V, R, g, cs, sn, Q, ks = jax.lax.while_loop(
             arnoldi_cond, arnoldi_body,
-            (jnp.int32(0), V, R, g, cs, sn, ks))
+            (jnp.int32(0), V, R, g, cs, sn, Q, ks))
         used = jnp.arange(m)[None, :] < ks[:, None]   # (mb, m)
         Rm = jnp.where(used[:, None, :] & used[:, :, None], R[:, :m, :m],
                        jnp.eye(m, dtype=rdt)[None])

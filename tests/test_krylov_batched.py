@@ -128,3 +128,51 @@ def test_bicgstab_batched_matches_gmres():
     x2 = np.asarray(r2.x)
     for s in range(m):
         assert np.linalg.norm(A[s] @ x2[s] - b[s]) < 1e-7 * np.linalg.norm(b[s])
+
+
+def test_gmres_batched_cgs2c_matches_cgs2():
+    """Chunked CGS2 ('cgs2c') performs the same projections as full-basis
+    CGS2 (basis rows > j are zero) -- solutions agree to solver tolerance
+    and iteration counts stay within one step of each other."""
+    rng = np.random.default_rng(3)
+    blocks, nbr = _system(rng, m=2, dom=2.0)
+    b = jnp.asarray(rng.normal(size=(2, 3, 150)).astype(np.float32))
+    mv = lambda V: bell_matvec_multi(blocks, nbr, V)
+    kw = dict(rtol=1e-7, atol=0.0, max_it=300)
+    # restart 30 exercises the Mrows=32 padded capacity; restart 7 the
+    # CH-interior case; restart 8 the exact-multiple boundary (Mrows=16)
+    for restart in (30, 7, 8):
+        r_full = gmres_batched(mv, b, jnp.zeros_like(b), lambda r: r,
+                               restart=restart, orth="cgs2", **kw)
+        r_chnk = gmres_batched(mv, b, jnp.zeros_like(b), lambda r: r,
+                               restart=restart, orth="cgs2c", **kw)
+        assert bool(r_chnk.converged.all())
+        np.testing.assert_array_less(
+            np.abs(np.asarray(r_chnk.iters) - np.asarray(r_full.iters)), 2)
+        for s in range(2):
+            rr = float(jnp.linalg.norm(
+                b[s] - bell_matvec(blocks[s], nbr, r_chnk.x[s]))
+                / jnp.linalg.norm(b[s]))
+            assert rr < 1e-6
+
+
+def test_gmres_batched_rot_carry_matches_replay():
+    """The carried rotation product Q applied as one GEMV is the same
+    linear map as replaying the stored 2x2 Givens rotations."""
+    rng = np.random.default_rng(4)
+    blocks, nbr = _system(rng, m=2, dom=2.0)
+    b = jnp.asarray(rng.normal(size=(2, 3, 150)).astype(np.float32))
+    mv = lambda V: bell_matvec_multi(blocks, nbr, V)
+    kw = dict(rtol=1e-7, atol=0.0, max_it=300, restart=12)
+    r_rep = gmres_batched(mv, b, jnp.zeros_like(b), lambda r: r,
+                          rot="replay", **kw)
+    r_car = gmres_batched(mv, b, jnp.zeros_like(b), lambda r: r,
+                          rot="carry", **kw)
+    assert bool(r_car.converged.all())
+    np.testing.assert_array_less(
+        np.abs(np.asarray(r_car.iters) - np.asarray(r_rep.iters)), 2)
+    for s in range(2):
+        rr = float(jnp.linalg.norm(b[s] - bell_matvec(blocks[s], nbr,
+                                                      r_car.x[s]))
+                   / jnp.linalg.norm(b[s]))
+        assert rr < 1e-6

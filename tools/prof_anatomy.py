@@ -83,6 +83,32 @@ def main():
     t_mv = timed("knp pair matvec_multi", mvK, V0)
     t_pc = timed("knp two-level pc apply", pcf, V0)
 
+    # pc anatomy: BJ einsum vs coarse correction (the apply is additive)
+    from knpemidg_tpu.ops.spmv import block_jacobi_inverse as _bji
+    Pinv = jax.vmap(_bji)(pdK_bj)
+    t_bj = timed("knp pc: bj einsum", lambda r: jnp.einsum(
+        "mijc,mjc->mic", Pinv, r), V0)
+
+    def coarse_one(d, rs):
+        nd_, nc_ = rs.shape
+        inv, s = d["inv"], d["s"]
+        n_agg = inv.shape[0]
+        pad = n_agg * agg_p - nc_
+        rsum = rs.sum(axis=0)
+        rc = jnp.pad(rsum, (0, pad)).reshape(n_agg, agg_p).sum(axis=1)
+        z2 = s * (inv @ (s * rc))
+        zf = jnp.broadcast_to(z2[:, None], (n_agg, agg_p)).reshape(-1)[:nc_]
+        return jnp.broadcast_to(zf[None, :], (nd_, nc_))
+
+    t_co = timed("knp pc: coarse only", lambda r: jax.vmap(coarse_one)(
+        data, r), V0)
+    # NOTE: bj-alone (0.96 ms) + coarse-alone (0.80 ms) measure MORE than
+    # the fused full apply (0.74 ms): at this size every op is
+    # latency/materialization-bound, not bandwidth-bound, and XLA overlaps
+    # the additive terms inside the real apply.  Microbenchmark deltas do
+    # NOT transfer to the solve loop -- the cgs2c/carry burial
+    # (tools/exp_cgs2c_ab.py) is the end-to-end proof.
+
     # CGS2 orthogonalization at restart m: w - V(V^T w), twice
     m = sp.gmres_restart
     n = V0.size // mb
