@@ -28,10 +28,15 @@ RESULT (v5e, 121,617-tet EMIx pair layout, round 4): **BURIED**.
   - Even ignoring exceptions, the mechanics lose: banded matvec measures
     13.4 ms (W=64) / 8.8 ms (W=128) vs 2.6/1.7 ms for the plain gather
     form (same tunnel-noise envelope as the 0.86 ms trace figure) --
-    the S*nblocks ~ 3k batch of (4 x 2W) @ (2W x 128) bf16 matmuls is
+    the S*nblocks ~ 3k batch of (4 x 2W) @ (2W x 128) matmuls is
     MXU-setup/latency bound, and the one-hot HBM traffic (98-196 MB)
     exceeds the entire gather's cost by itself.  Exact parity (rel err
     0.0) confirms the formulation; the economics are unfixable.
+    Measurement caveat: the one-hot is STORED bf16 but banded_ext_gather
+    casts it to the vector dtype (f32) before dot_general, so the timed
+    contractions ran in f32 -- somewhat pessimistic for a true-bf16 MXU
+    path, but the independent no-band finding (22.65% exceptions at
+    W=512) buries the idea regardless of contraction dtype.
 The 2.4 ns/index XLA gather stands as the floor in this image (with
 Mosaic lane-gather lowering dead, ROADMAP round-2/3 notes).
 """
@@ -72,7 +77,10 @@ def window_stats(pm):
         start = np.clip(med - W // 2, 0, max(npair - W, 0))
         rel = pidb - start[:, :, None]
         inband = (rel >= 0) & (rel < W)
-        exc = int((~inband).sum()) - (pad * S if pad else 0)  # pad lanes dup last col
+        # count only real lanes: pad lanes duplicate the last column's pid
+        # and can themselves be in-band, so a blanket pad*S subtraction
+        # understates (and can sign-flip) the exception count
+        exc = int((~inband.reshape(S, nblocks * B)[:, :npair]).sum())
         results[W] = (start, inband)
         ohot_mb = S * nblocks * 2 * W * B * 2 / 1e6
         print(f"W={W:4d}: exceptions {exc:7d} ({100*exc/total:5.2f}%)  "
