@@ -128,6 +128,14 @@ class SolverParams:
     # membrane surface harmonics they capture dominate the CG count during
     # AP upstrokes (200 -> 12 iters on the EMIx mesh at order 2)
     emi_moment_order: int = 2
+    # compute the moment-deflation Galerkin in HOST float64
+    # (twolevel.ritz_galerkin_host on the moment fields) instead of device
+    # f32 matvecs.  The round-3 "order 3/4 DOUBLES counts" burial was an
+    # f32-Galerkin-noise artifact of the device path; the f64 Galerkin
+    # lifts that ceiling, which matters at ~1M tets where the order-2
+    # budget is exhausted (ROADMAP item 12).  Costs one device->host
+    # blocks pull per pc build.
+    emi_moment_host: bool = False
     # EMI Ritz deflation: harvest this many approximate small-eigenvalue
     # modes of the preconditioned operator at the INITIAL pc build
     # (device Lanczos + genuine-f64 host Galerkin; 0 = off, -1 = AUTO:
@@ -136,10 +144,17 @@ class SolverParams:
     # EMIx 14-step window, after the coarse-equilibration underflow fix):
     #   cell:  ritz0 566 EMI iters / 196 ms/step  vs  ritz24 299 / 162
     #          (deflation kills the 110-160-iteration spike steps)
-    #   pair:  ritz0 181 / 138.8  vs  ritz24 254-258 / ~146
-    #          (the pair-halves BJ smoother already flattens the spikes;
-    #          the extra additive term UNBALANCES the two-level sum,
-    #          same mechanism as pair_bj='full')
+    #   pair:  ritz0 181 / 134.5  vs  ritz16 301 / ritz24 229 / ritz32
+    #          253 (tools/exp_pair_ritz.py, round 5).  Round 4's pair
+    #          harvest had a real bug -- it Lanczos'ed against the
+    #          FULL-pair BJ while production runs pair_bj='halves' + live
+    #          mask; fixing the mismatch improved n=24 from 254 to 229
+    #          but deflation stays a LOSS at every budget: the pair-halves
+    #          baseline has no spike cluster to deflate (max step 27 vs
+    #          the cell layout's 110-160 spikes), so the extra additive
+    #          term only perturbs the two-level balance and the
+    #          trajectory, and its apply cost raises the wall
+    #          (134.5 -> 141-163 ms/step).
     # n_ritz=16 is measured WORSE than off on cell (488) -- harvest
     # quality is erratic below ~24 fields (tools/exp_ritz_tune.py).
     # Harvesting again at a LATER state is measured harmful
@@ -182,6 +197,20 @@ class SolverParams:
     # so frequent refresh does not pay -- a rebuild costs ~1.6 s on the
     # EMIx mesh; every ~50 steps adds ~30 ms/step
     pc_refresh_every: int = 0
+    # count-triggered refresh (the reference re-setups its AMG every step,
+    # solver.py:727-742; here a refresh is only worth its ~1.6 s rebuild
+    # when iteration counts have genuinely degraded): when > 0, the
+    # active-scan driver also refreshes whenever the last step's total
+    # Krylov work (EMI + summed KNP iters) exceeds this factor times the
+    # best (minimum) step total seen since the previous refresh.
+    # pc_refresh_every still applies as an independent cadence.
+    # MEASURED AND BURIED for count reduction on the EMIx AP window
+    # (tools/exp_adaptive_refresh.py): staleness is NOT what the counts
+    # are paying for -- a mid-window rebuild leaves both the EMI spikes
+    # (rhs-intrinsic) and the KNP drift growth (operator-drift-intrinsic,
+    # per-step-fresh pc measured identical in round 3) in place.  Kept as
+    # a safety valve for long runs where the t0 pc eventually goes stale.
+    pc_refresh_factor: float = 0.0
 
 
 @dataclasses.dataclass

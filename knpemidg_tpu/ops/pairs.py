@@ -292,6 +292,37 @@ def to_pair(pm, x):
     return jnp.concatenate([xg[..., :, 0, :], h1], axis=-2)
 
 
+def to_pair_host(pmh, x):
+    """Numpy mirror of :func:`to_pair` on the HOST maps (interleaved form
+    only).  Used where the conversion must not touch device arrays: under a
+    multi-process mesh the pair maps are globally sharded and an eager
+    (outside-jit) mixed local/global op raises -- e.g. converting the
+    host-f64 Ritz deflation fields (solver._build_pc)."""
+    assert "cell_col" not in pmh, "host conversion: interleaved maps only"
+    x = np.asarray(x)
+    *lead, nd, nc2 = x.shape
+    npair = nc2 // 2
+    xr = np.moveaxis(x.reshape(*lead, nd, npair, 2), -1, -3)
+    out = xr.reshape(*lead, 2 * nd, npair)
+    live1 = np.asarray(pmh["live1"], dtype=x.dtype)
+    live0 = (np.asarray(pmh["live0"], dtype=x.dtype) if "live0" in pmh
+             else np.ones((), dtype=x.dtype))
+    mask = np.concatenate([np.broadcast_to(live0, (nd, npair)),
+                           np.broadcast_to(live1, (nd, npair))])
+    return out * mask
+
+
+def from_pair_host(pmh, xp):
+    """Numpy mirror of :func:`from_pair` (interleaved form only); see
+    :func:`to_pair_host`."""
+    assert "cell_col" not in pmh, "host conversion: interleaved maps only"
+    xp = np.asarray(xp)
+    *lead, nd2, npair = xp.shape
+    nd = nd2 // 2
+    a = np.moveaxis(xp.reshape(*lead, 2, nd, npair), -3, -1)
+    return a.reshape(*lead, nd, 2 * npair)
+
+
 def from_pair(pm, xp):
     """(..., 2*nd, npair) -> (..., nd, nc) (reads each cell's live half;
     interleaved maps: inverse reshape, dead halves land on the pad cells)."""

@@ -236,8 +236,11 @@ def shard_solver(S, mesh: DeviceMesh, pair: bool = False):
     the interleaved (pair, half) order with per-shard pair padding, and
     the per-iteration matvec runs the pair halo exchange
     (halo.build_halo_pair: pair-granular send lists, ~25% fewer gather
-    indices per shard, the same boundary collective volume).  Single
-    process only (the Ritz harvest's host Galerkin pulls sharded arrays).
+    indices per shard, the same boundary collective volume).  Works under
+    multi-process meshes too: the Ritz-harvest host pulls go through
+    twolevel._host (process_allgather) and the pair<->cell deflation-field
+    conversions run on host numpy (solver._pair_W_to_cell /
+    _ritz_W_to_pair), so no eager op ever mixes local and global arrays.
 
     Returns ``shard_state``: pads + places a state pytree (call BEFORE
     ``attach_pc`` so the frozen preconditioner is built at padded shapes)."""
@@ -257,8 +260,6 @@ def shard_solver(S, mesh: DeviceMesh, pair: bool = False):
     if pair:
         from ..ops.pairs import build_pair_maps, interleave_pair_maps
 
-        assert jax.process_count() == 1, \
-            "pair sharding is single-process (multi-host runs cell layout)"
         block = np.arange(nc) // size
         pm0 = build_pair_maps(_geom_view(S), block=block)
         vol = np.asarray(S.g["vol"])

@@ -228,6 +228,28 @@ class Solver:
         self.pair_layout = True
         self._invalidate_caches()
 
+    def _pair_W_to_cell(self, W_pair):
+        """pair->cell conversion of harvested deflation fields, OFF device
+        for interleaved maps: under a multi-process mesh the pair maps are
+        globally sharded and eager mixed local/global ops raise, while the
+        consumer (ritz_galerkin_host) pulls to host anyway."""
+        from .ops.pairs import from_pair, from_pair_host
+        from .solvers.twolevel import _host
+
+        if "cell_col" not in self.pairs_host:
+            return from_pair_host(self.pairs_host, _host(W_pair))
+        return from_pair(self.pairs, W_pair)    # legacy gather maps
+
+    def _ritz_W_to_pair(self, W_cell):
+        """cell->pair conversion of host-built deflation fields (see
+        _pair_W_to_cell)."""
+        from .ops.pairs import to_pair, to_pair_host
+
+        if "cell_col" not in self.pairs_host:
+            out = to_pair_host(self.pairs_host, np.asarray(W_cell))
+            return jnp.asarray(out, dtype=self.dtype)
+        return to_pair(self.pairs, W_cell)      # legacy gather maps
+
     def _apply_interleave(self, perm: np.ndarray):
         """Renumber every cell-indexed solver array by the interleaved pair
         permutation (see enable_pair_layout): pad the cell axis with the
@@ -1056,13 +1078,33 @@ class Solver:
         n_steps = int(round(Tstop / self.params.dt))
 
         refresh = solver_params.pc_refresh_every
+        # count-triggered refresh (pc_refresh_factor): refresh when the last
+        # step's total Krylov work exceeds factor x the best step since the
+        # previous refresh.  Reference analog: per-step AMG re-setup
+        # (solver.py:727-742) -- here gated on measured degradation because
+        # a rebuild costs ~1.6 s on the EMIx mesh.
+        factor = getattr(solver_params, "pc_refresh_factor", 0.0)
+        adaptive = {"best": None, "last": None}
+
+        def _track_work(step_st):
+            w = float(np.asarray(step_st["emi_iters"])) + float(
+                np.sum(np.asarray(step_st["knp_iters"])))
+            adaptive["last"] = w
+            if adaptive["best"] is None or w < adaptive["best"]:
+                adaptive["best"] = w
+
+        def _adaptive_trigger():
+            return (factor > 0 and adaptive["best"] is not None
+                    and adaptive["last"] > factor * adaptive["best"])
 
         if scan_steps > 0:
             assert not (solver_params.direct_emi or solver_params.direct_knp)
             k = 0
             while k < n_steps:
-                if refresh and k and (k % refresh) < scan_steps:
+                if (refresh and k and (k % refresh) < scan_steps) or \
+                        _adaptive_trigger():
                     state = self._refresh_pc(state, solver_params)
+                    adaptive["best"] = None
                 # final block shrinks to the remaining steps so the loop
                 # never integrates past Tstop (ADVICE r1: ceil-overshoot)
                 bs = min(scan_steps, n_steps - k)
@@ -1076,6 +1118,7 @@ class Solver:
                     step_st = {key: val[j] for key, val in st.items()}
                     self._check_convergence(step_st, solver_params)
                     self.stats.record_step(step_st, wall / bs)
+                    _track_work(step_st)
                 k += bs
                 self._io_step(state, k)
             self._io_close()
@@ -1083,8 +1126,9 @@ class Solver:
             return state
 
         for k in range(n_steps):
-            if refresh and k and k % refresh == 0:
+            if (refresh and k and k % refresh == 0) or _adaptive_trigger():
                 state = self._refresh_pc(state, solver_params)
+                adaptive["best"] = None
             ts = _time.perf_counter()
             ode_fn = self._jit(("ode_step", k == 0),
                                partial(self._ode_step, first_step=(k == 0)))
@@ -1092,6 +1136,9 @@ class Solver:
             jax.block_until_ready(state["phi_M"])
             self.stats.ode_solve_timer += _time.perf_counter() - ts
             state = self._timed_pde_step(state, solver_params, k)
+            if factor > 0 and self.stats.emi_niters:
+                _track_work({"emi_iters": self.stats.emi_niters[-1],
+                             "knp_iters": self.stats.knp_niters[-1]})
             self._io_step(state, k)
         self._io_close()
         self.state = state
@@ -1323,7 +1370,9 @@ class Solver:
                 )
                 pc["emi"] = build(blocks, Pd)
             if sp_.emi_moment_order > 0:
-                mom = self._emi_moment_data_any(blocks, sp_)
+                mom = (self._emi_moment_data_host(state, blocks, sp_)
+                       if getattr(sp_, "emi_moment_host", False)
+                       else self._emi_moment_data_any(blocks, sp_))
                 pc["emi"] = dict(pc["emi"], **mom)
             if reuse_ritz:
                 pc["emi"] = dict(pc["emi"], **reuse_ritz)
@@ -1355,12 +1404,16 @@ class Solver:
                     data_c = pc["emi"]
                 W_h = ritz_lanczos_W_host(
                     blocks_c, self.g["nbr"], data_c, Pd_c, rhs_c,
-                    sp_.agg_size, n_ritz=n_ritz)
+                    sp_.agg_size,
+                    # k=40 is the measured-good depth up to the AUTO budget
+                    # (n_ritz 24); larger budgets (the 995k scale stack)
+                    # need k >= 2n for converged small Ritz pairs
+                    k=(40 if n_ritz <= 24 else 2 * n_ritz),
+                    n_ritz=n_ritz)
                 ritz = ritz_galerkin_host(blocks_c, self.g["nbr"], W_h,
                                           project_mean=True)
                 if pair:
-                    ritz["ritz_W"] = _pairs.to_pair(self.pairs,
-                                                    ritz["ritz_W"])
+                    ritz["ritz_W"] = self._ritz_W_to_pair(ritz["ritz_W"])
                 if all(bool(np.isfinite(np.asarray(v)).all())
                        for v in ritz.values()):
                     pc["emi"] = dict(pc["emi"], **ritz)
@@ -1381,16 +1434,33 @@ class Solver:
                             return hmv(self._halo_pair_data, bp[0], bp[1], v)
                         return _pairs.pair_matvec(bp[0], bp[1], self.pairs, v)
 
-                    harvest = self._jit(
-                        ("pc_ritz_W_pair", sp_.agg_size, n_ritz),
-                        lambda bp, Pd_, data, r: ritz_lanczos_W(
-                            None, None,
-                            two_level_apply_fn(data, Pd_, agg_p),
+                    # harvest with the PRODUCTION preconditioner: the solve
+                    # path (_make_precond) applies the pair_bj='halves' BJ
+                    # scope and the live mask; harvesting with the full-pair
+                    # BJ targets the small modes of a DIFFERENT
+                    # preconditioned operator and the resulting deflation
+                    # space misses the production solver's slow modes
+                    # (round-4's "ritz hurts on pair" measurement carried
+                    # this mismatch)
+                    bj_h = (self._pair_bj_halves
+                            if getattr(sp_, "pair_bj", "full") == "halves"
+                            else None)
+                    lm_h = self._pair_mask.astype(Pd.dtype)
+
+                    def _harvest(bp, Pd_, data, r):
+                        Pd_b = Pd_ * bj_h if bj_h is not None else Pd_
+                        fn = two_level_apply_fn(data, Pd_b, agg_p)
+                        return ritz_lanczos_W(
+                            None, None, lambda v: fn(v) * lm_h,
                             _pairs.to_pair(self.pairs, r),
+                            k=(40 if n_ritz <= 24 else 2 * n_ritz),
                             n_ritz=n_ritz,
                             matvec=lambda v: _pmv(bp, v),
-                            mask=self._pair_mask),
-                    )
+                            mask=self._pair_mask)
+
+                    harvest = self._jit(
+                        ("pc_ritz_W_pair", sp_.agg_size, n_ritz,
+                         getattr(sp_, "pair_bj", "full")), _harvest)
                     W_pair = harvest(blocks, Pd, pc["emi"], rhs)
                     # f64 Galerkin runs on CELL blocks (exact: the live
                     # entries carry the same values; dead halves are
@@ -1400,18 +1470,18 @@ class Solver:
                     blocks_c, _, _ = asm_c(state["c"], state["c_elim"],
                                            phi_M_pad, I_ch_tot_pad,
                                            state["t"])
-                    W_cell = _pairs.from_pair(self.pairs, W_pair)
+                    W_cell = self._pair_W_to_cell(W_pair)
                     ritz = ritz_galerkin_host(blocks_c, self.g["nbr"],
                                               W_cell, project_mean=True)
-                    ritz["ritz_W"] = _pairs.to_pair(self.pairs,
-                                                    ritz["ritz_W"])
+                    ritz["ritz_W"] = self._ritz_W_to_pair(ritz["ritz_W"])
                 else:
                     harvest = self._jit(
                         ("pc_ritz_W", sp_.agg_size, n_ritz),
                         lambda b, Pd_, data, r: ritz_lanczos_W(
                             b, self.g["nbr"],
                             two_level_apply_fn(data, Pd_, sp_.agg_size),
-                            r, n_ritz=n_ritz),
+                            r, k=(40 if n_ritz <= 24 else 2 * n_ritz),
+                            n_ritz=n_ritz),
                     )
                     ritz_W = harvest(blocks, Pd, pc["emi"], rhs)
                     # project_mean: strip the EMI nullspace (global
@@ -1526,6 +1596,35 @@ class Solver:
                 fan=lambda X: bell_matvec_fan(b, self.g["nbr"], X)),
         )
         return build(blocks, W)
+
+    def _emi_moment_data_host(self, state, blocks, sp_: SolverParams):
+        """Moment-deflation Galerkin in HOST float64 (emi_moment_host):
+        reuses twolevel.ritz_galerkin_host on the moment fields.  The
+        device f32 Galerkin is noise-dominated above order 2 (round-3
+        burial: orders 3/4 DOUBLED counts); the exact f64 Galerkin lifts
+        that ceiling -- the lever for the ~1M-tet EMI iteration blowup
+        (ROADMAP item 12), where the membrane harmonics exceed the order-2
+        budget.  On the pair layout the Galerkin runs on freshly assembled
+        CELL blocks (exact: live pair entries carry the same values) and
+        the fields convert with to_pair."""
+        W = self._emi_moment_W(sp_)
+        pair = isinstance(blocks, tuple)
+        if pair:
+            phi_M_pad, _, I_ch_tot_pad = self._pads(state)
+            asm_c = self._jit(("asm_emi", self.splitting_scheme, False),
+                              self._assemble_emi)
+            blocks_c, _, _ = asm_c(state["c"], state["c_elim"], phi_M_pad,
+                                   I_ch_tot_pad, state["t"])
+        else:
+            blocks_c = blocks
+        out = ritz_galerkin_host(blocks_c, self.g["nbr"], W, ridge=1e-6)
+        mom = {"mom_W": out["ritz_W"], "mom_inv": out["ritz_inv"],
+               "mom_s": out["ritz_s"]}
+        if pair:
+            from .ops import pairs as _pairs
+
+            mom["mom_W"] = _pairs.to_pair(self.pairs, mom["mom_W"])
+        return mom
 
     def _emi_moment_data_any(self, blocks, sp_: SolverParams):
         """Layout dispatch: Galerkin the moment fields with whichever

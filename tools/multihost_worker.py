@@ -123,36 +123,53 @@ def main():
     ref = np.load(npz_path)
     ref_c, ref_phiM = ref["c"], ref["phi_M"]
 
-    # sharded over the process-spanning global mesh
-    S = build_solver()
-    mesh = multihost.global_mesh()
-    assert mesh.devices.size == n_global
-    shard_state = shard_solver(S, mesh)
-    state = S.attach_pc(shard_state(S._initial_state(0.0)), sp)
-    step = S.fused_step(sp)
-    stats = None
-    for _ in range(N_STEPS):
-        state, stats = step(state)
-    got = multihost.allgather(
-        {"c": state["c"], "phi_M": state["phi_M"]})
-    up = unpad_state(S, {"c": got["c"]})
-    c = np.asarray(up["c"])
-    phi_M = np.asarray(got["phi_M"])
-    # process_allgather of a replicated array may stack per-process copies
-    if phi_M.ndim == ref_phiM.ndim + 1:
-        phi_M = phi_M[0]
-    if c.ndim == ref_c.ndim + 1:
-        c = c[0]
+    def one_leg(pair: bool):
+        # sharded over the process-spanning global mesh
+        S = build_solver()
+        mesh = multihost.global_mesh()
+        assert mesh.devices.size == n_global
+        shard_state = shard_solver(S, mesh, pair=pair)
+        state = S.attach_pc(shard_state(S._initial_state(0.0)), sp)
+        step = S.fused_step(sp)
+        stats = None
+        for _ in range(N_STEPS):
+            state, stats = step(state)
+        got = multihost.allgather(
+            {"c": state["c"], "phi_M": state["phi_M"]})
+        c_g = got["c"]
+        phi_M = np.asarray(got["phi_M"])
+        # process_allgather of a replicated array may stack per-process
+        # copies
+        if phi_M.ndim == ref_phiM.ndim + 1:
+            phi_M = phi_M[0]
+        if c_g.ndim == ref_c.ndim + 2:
+            c_g = c_g[0]
+        up = unpad_state(S, {"c": c_g})
+        c = np.asarray(up["c"])
+        if c.ndim == ref_c.ndim + 1:
+            c = c[0]
 
-    dc = np.abs(c - ref_c).max() / np.abs(ref_c).max()
-    dm = np.abs(phi_M - ref_phiM).max()
-    ok = bool(np.isfinite(c).all() and dc < 5e-5 and dm < 1e-5)
-    # (f64 runs: observed dc ~1e-9, dm ~1e-8; the gates leave headroom
-    # for reduction-order differences across shardings)
-    if pid == 0:
-        print(f"multihost worker0: procs={nprocs} local_devs={n_local} "
-              f"global_devs={n_global} emi_iters={int(stats['emi_iters'])} "
-              f"rel_dc={dc:.2e} dphi_M={dm:.2e} ok={ok}", flush=True)
+        dc = np.abs(c - ref_c).max() / np.abs(ref_c).max()
+        dm = np.abs(phi_M - ref_phiM).max()
+        # cell leg: same operator format as the reference, only sharding
+        # reduction order differs (observed dc ~3e-5 at rtol_emi 1e-6).
+        # pair leg: the reference is the CELL layout, so the gate also
+        # absorbs the legitimate pair-vs-cell solver-tolerance trajectory
+        # spread (tests/test_pairs.py measures 2e-5..1e-4 at tight f64
+        # tolerances; observed here 5.4e-5 at rtol_emi 1e-6)
+        gate_c, gate_m = (3e-4, 3e-4) if pair else (5e-5, 1e-5)
+        ok = bool(np.isfinite(c).all() and dc < gate_c and dm < gate_m)
+        if pid == 0:
+            lbl = "pair" if pair else "cell"
+            print(f"multihost worker0 [{lbl}]: procs={nprocs} "
+                  f"local_devs={n_local} global_devs={n_global} "
+                  f"emi_iters={int(stats['emi_iters'])} "
+                  f"rel_dc={dc:.2e} dphi_M={dm:.2e} ok={ok}", flush=True)
+        return ok
+
+    # both operator layouts over DCN: the cell block-ELL path and the
+    # pair-block path (VERDICT r4 item 4 -- previously single-process only)
+    ok = one_leg(pair=False) and one_leg(pair=True)
     sys.exit(0 if ok else 1)
 
 

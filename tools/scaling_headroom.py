@@ -9,11 +9,12 @@ footprint -- the table shows where memory or the gather floor bends.
 
 Sizes (box_3d_axons(resolution_factor, length_factor), tets = nx*ny*nz*6):
     r1l2:  64 x 18 x 18 x 6 =   124,416   (bench synthetic stand-in)
+    r1l4: 128 x 18 x 18 x 6 =   497,664   (~ the EMI DoF of the EMIx mesh)
     r2l2: 128 x 36 x 36 x 6 =   995,328
     r2l4: 256 x 36 x 36 x 6 = 1,990,656
     r3l1: 128 x 72 x 72 x 6 = 3,981,312
 
-Run on the TPU: python tools/scaling_headroom.py [sizes...]
+Run on the TPU: python tools/scaling_headroom.py [sizes...] [--over k=v ...]
 """
 import os
 import sys
@@ -34,6 +35,7 @@ import bench
 
 SIZES = {
     "r1l2": (1, 2),
+    "r1l4": (1, 4),
     "r2l2": (2, 2),
     "r2l4": (2, 4),
     "r3l1": (3, 1),
@@ -47,7 +49,12 @@ REPS = 3
 # workaround scaled agg with the mesh -- 256 at 995k tets cost EMI window
 # iterations 103 -> 1475, measured; the dense level-1 coarse at agg 64
 # OOMed at 926 MB + blocked-Cholesky workspace.)
-AGG = {"r1l2": 64, "r2l2": 64, "r2l4": 64, "r3l1": 64}
+AGG = {n: 64 for n in SIZES}
+
+# SolverParams overrides applied to every size (e.g. the round-5 scale
+# stack: emi_moment_host / emi_ritz_host / emi_ritz), set via
+#   python tools/scaling_headroom.py r1l2 --over emi_ritz=64 emi_ritz_host=1
+OVER = {}
 
 
 def hbm_mb():
@@ -71,7 +78,7 @@ def run_size(name):
     import dataclasses
 
     S, sp = bench.build(mesh=mesh)
-    sp = dataclasses.replace(sp, agg_size=AGG[name])
+    sp = dataclasses.replace(sp, agg_size=AGG[name], **OVER)
     t1 = time.perf_counter()
     state = S.attach_pc(S._initial_state(0.0), sp)
     blk = S._jit(("headroom", N_STEPS, sp), S.fused_block(sp, N_STEPS))
@@ -103,8 +110,22 @@ def run_size(name):
     return row
 
 
+def _parse_over(argv):
+    """Split argv into size names and --over k=v SolverParams overrides."""
+    names, i = [], 0
+    while i < len(argv) and argv[i] != "--over":
+        names.append(argv[i])
+        i += 1
+    for kv in argv[i + 1:]:
+        k, v = kv.split("=", 1)
+        OVER[k] = (v.lower() in ("1", "true") if v.lower() in
+                   ("0", "1", "true", "false") else
+                   (int(v) if v.lstrip("-").isdigit() else float(v)))
+    return names
+
+
 def main():
-    names = sys.argv[1:] or list(SIZES)
+    names = _parse_over(sys.argv[1:]) or list(SIZES)
     rows = []
     for n in names:
         try:
