@@ -204,12 +204,11 @@ class SolverParams:
     # Krylov work (EMI + summed KNP iters) exceeds this factor times the
     # best (minimum) step total seen since the previous refresh.
     # pc_refresh_every still applies as an independent cadence.
-    # MEASURED AND BURIED for count reduction on the EMIx AP window
-    # (tools/exp_adaptive_refresh.py): staleness is NOT what the counts
-    # are paying for -- a mid-window rebuild leaves both the EMI spikes
-    # (rhs-intrinsic) and the KNP drift growth (operator-drift-intrinsic,
-    # per-step-fresh pc measured identical in round 3) in place.  Kept as
-    # a safety valve for long runs where the t0 pc eventually goes stale.
+    # Measured on the EMIx AP window by tools/exp_adaptive_refresh.py
+    # (see ROADMAP round-5 notes); round-3 already showed a per-step-FRESH
+    # KNP pc leaves the drift-growth counts identical, so this is a
+    # safety valve for long runs where the t0 pc eventually goes stale,
+    # not a window-count lever.
     pc_refresh_factor: float = 0.0
 
 

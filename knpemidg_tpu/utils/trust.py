@@ -23,25 +23,41 @@ def total_mass(res, frame_i: int) -> dict:
     up to solver tolerance."""
     vol = np.asarray(res.geom.vol)
     fr = res.frame(frame_i)
+
+    def cell_mean(f):
+        # H5 frames store fields cells-FIRST (reference layout parity,
+        # io/checkpoint.py); device-side arrays are cells-last
+        f = np.asarray(f)
+        return f.mean(axis=1) if f.shape[0] == vol.shape[0] else f.mean(axis=0)
+
     out = {}
     for k, ck in enumerate(np.asarray(fr["c"])):
-        out[f"ion{k}"] = float((vol * ck.mean(axis=0)).sum())
-    out["elim"] = float((vol * np.asarray(fr["c_elim"]).mean(axis=0)).sum())
+        out[f"ion{k}"] = float((vol * cell_mean(ck)).sum())
+    out["elim"] = float((vol * cell_mean(fr["c_elim"])).sum())
+    return out
+
+
+def ap_crossings(res, point, threshold=0.0, tags=None):
+    """All upward threshold-crossing times of phi_M at the membrane facet
+    nearest ``point`` (linearly interpolated); [] if none.  The count
+    distinguishes a time-shifted AP train from a different one."""
+    s = res.membrane_series(point, tags)["phi_M"]
+    t = res.times
+    above = s >= threshold
+    above[0] = False      # frame 0 stores the pre-solve zero phi (jump 0)
+    idx = np.flatnonzero(above & ~np.roll(above, 1))
+    idx = idx[idx > 0]
+    out = []
+    for i in idx:
+        f = (threshold - s[i - 1]) / (s[i] - s[i - 1])
+        out.append(float(t[i - 1] + f * (t[i] - t[i - 1])))
     return out
 
 
 def ap_crossing_time(res, point, threshold=0.0, tags=None):
-    """First threshold-crossing time of phi_M at the membrane facet nearest
-    ``point`` (linearly interpolated), or None."""
-    s = res.membrane_series(point, tags)["phi_M"]
-    t = res.times
-    above = s >= threshold
-    idx = np.flatnonzero(above & ~np.roll(above, 1))
-    if len(idx) == 0 or idx[0] == 0:
-        return None
-    i = idx[0]
-    f = (threshold - s[i - 1]) / (s[i] - s[i - 1])
-    return float(t[i - 1] + f * (t[i] - t[i - 1]))
+    """First threshold-crossing time, or None."""
+    c = ap_crossings(res, point, threshold, tags)
+    return c[0] if c else None
 
 
 def trajectory_metrics(S, sp, n_steps: int, sites=None, scan_steps: int = 0
@@ -75,13 +91,19 @@ def trajectory_metrics(S, sp, n_steps: int, sites=None, scan_steps: int = 0
     m0 = total_mass(res, 0)
     mN = total_mass(res, res.n_frames - 1)
     drift = {k: abs(mN[k] - m0[k]) / abs(m0[k]) for k in m0}
+    # skip frame 0: it stores the INITIAL phi field (zero before the first
+    # EMI solve), whose jump is 0 and would masquerade as the peak
     peak = max(float(np.asarray(res.membrane_series(p, tags=[1])["phi_M"])
-                     .max()) for p in sites)
+                     [1:].max()) for p in sites)
+    near = ap_crossings(res, sites[0], tags=[1])
+    far = ap_crossings(res, sites[1], tags=[1])
     out = {
         "dt": float(S.params.dt),
         "n_steps": int(n_steps),
-        "t_ap_near": ap_crossing_time(res, sites[0], tags=[1]),
-        "t_ap_far": ap_crossing_time(res, sites[1], tags=[1]),
+        "t_ap_near": near[0] if near else None,
+        "t_ap_far": far[0] if far else None,
+        "n_ap_near": len(near),
+        "n_ap_far": len(far),
         "peak_phi_M": peak,
         "peak_phi_M_global": float(phi_M.max()),
         "mass_drift": drift,

@@ -56,6 +56,10 @@ def run_worker(dtype: str, n_steps: int, out_json: str):
         # no x64, so the f64 leg forces CPU
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    elif os.environ.get("JAX_PLATFORMS"):
+        # the image's sitecustomize overrides the env var at interpreter
+        # start (ROADMAP item 11) -- honor an explicit request here
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
