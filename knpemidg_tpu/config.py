@@ -189,6 +189,13 @@ class SolverParams:
     # KNP 434 window iters vs 'halves' 264 / 410 (cell layout: 293 /
     # 369), walls 155.5 vs 148.0 ms/step.
     pair_bj: str = "halves"
+    # diagonal shift on the EQUILIBRATED coarse matrix before its Cholesky
+    # (solvers/twolevel.build_two_level).  The 1e-5 default was tuned on
+    # EMIx-size meshes (~2k chunks), where it sits well below the smallest
+    # genuine coarse mode; at larger chunk counts the genuine low modes
+    # shrink and a fixed shift caps exactly the modes the coarse exists to
+    # treat -- tunable for the scale study (ROADMAP round-5).
+    coarse_ridge: float = 1e-5
     # rebuild the frozen preconditioner every N steps (0 = freeze at t0).
     # The coarse/deflation Galerkin data drifts with the concentrations;
     # refresh bounds that drift on long runs (hundreds of steps).  NOTE the

@@ -855,6 +855,7 @@ class Solver:
                         None, pair_nbr(pm), agg_p, sym=False,
                         mass_diag=self._pair_mass / self.params.dt,
                         v=pair_v_sums(pd_, pe_),
+                        ridge=getattr(sp_, "coarse_ridge", 1e-5),
                     )
                 )(pdK, peK)
                 pcf0 = two_level_apply_batched(
@@ -875,6 +876,7 @@ class Solver:
                     lambda b: build_two_level(
                         b, g["nbr"], sp_.agg_size, sym=False,
                         mass_diag=g["vol"] / self.params.dt,
+                        ridge=getattr(sp_, "coarse_ridge", 1e-5),
                     )
                 )(blocksK)
                 pcf = two_level_apply_batched(
@@ -1293,6 +1295,7 @@ class Solver:
                     mass_diag=None if sym else self._pair_mass
                     / self.params.dt,
                     v=pair_v_sums(pd_, pe_),
+                    ridge=getattr(sp_, "coarse_ridge", 1e-5),
                 )
                 fn = two_level_apply_fn(data, P_diag, agg_p, matvec=mv)
                 return lambda r: fn(r) * lm
@@ -1313,6 +1316,7 @@ class Solver:
                 sym=sym, matvec=mv,
                 comp_onehot=comp_onehot, comp_ids=comp_ids,
                 extra_diag=extra, mass_diag=mass_diag,
+                ridge=getattr(sp_, "coarse_ridge", 1e-5),
             )
         Pinv = block_jacobi_inverse(P_diag)
         return lambda r: block_jacobi_apply(Pinv, r)
@@ -1348,24 +1352,26 @@ class Solver:
                 oh_p = jnp.asarray(np.asarray(comp_onehot)[:, pmh["cop"][0]])
                 ids_p = jnp.asarray(np.asarray(comp_ids)[pmh["cop"][0]])
                 build = self._jit(
-                    ("pc_emi_pair", sp_.agg_size),
+                    ("pc_emi_pair", sp_.agg_size, sp_.coarse_ridge),
                     lambda bp, P: build_two_level(
                         None, _pairs.pair_nbr(self.pairs),
                         sp_.agg_size // 2, sym=True,
                         comp_onehot=oh_p, comp_ids=ids_p,
                         extra_diag=P - bp[0],
                         v=_pairs.pair_v_sums(*bp),
+                        ridge=sp_.coarse_ridge,
                     ),
                 )
                 pc["emi"] = build(blocks, Pd)
             else:
                 build = self._jit(
-                    ("pc_emi", sp_.agg_size),
+                    ("pc_emi", sp_.agg_size, sp_.coarse_ridge),
                     lambda b, P: build_two_level(
                         b, self.g["nbr"], sp_.agg_size, sym=True,
                         comp_onehot=jnp.asarray(comp_onehot),
                         comp_ids=jnp.asarray(comp_ids),
                         extra_diag=P - b[0],
+                        ridge=sp_.coarse_ridge,
                     ),
                 )
                 pc["emi"] = build(blocks, Pd)
@@ -1387,12 +1393,14 @@ class Solver:
                         state["c"], state["c_elim"], phi_M_pad,
                         I_ch_tot_pad, state["t"])
                     build_c = self._jit(
-                        ("pc_emi_cell_harvest", sp_.agg_size),
+                        ("pc_emi_cell_harvest", sp_.agg_size,
+                         sp_.coarse_ridge),
                         lambda b, P: build_two_level(
                             b, self.g["nbr"], sp_.agg_size, sym=True,
                             comp_onehot=jnp.asarray(comp_onehot),
                             comp_ids=jnp.asarray(comp_ids),
                             extra_diag=P - b[0],
+                            ridge=sp_.coarse_ridge,
                         ),
                     )
                     data_c = build_c(blocks_c, Pd_c)
@@ -1513,20 +1521,22 @@ class Solver:
             blocksK, rhsK = asm_knp(state)
             if pair:
                 build_k = self._jit(
-                    ("pc_knp_pair", sp_.agg_size),
+                    ("pc_knp_pair", sp_.agg_size, sp_.coarse_ridge),
                     lambda bp: jax.vmap(lambda pd_, pe_: build_two_level(
                         None, _pairs.pair_nbr(self.pairs),
                         sp_.agg_size // 2, sym=False,
                         mass_diag=self._pair_mass / self.params.dt,
                         v=_pairs.pair_v_sums(pd_, pe_),
+                        ridge=sp_.coarse_ridge,
                     ))(bp[0], bp[1]),
                 )
             else:
                 build_k = self._jit(
-                    ("pc_knp", sp_.agg_size),
+                    ("pc_knp", sp_.agg_size, sp_.coarse_ridge),
                     jax.vmap(lambda b: build_two_level(
                         b, self.g["nbr"], sp_.agg_size, sym=False,
                         mass_diag=self.g["vol"] / self.params.dt,
+                        ridge=sp_.coarse_ridge,
                     )),
                 )
             pc["knp"] = build_k(blocksK)

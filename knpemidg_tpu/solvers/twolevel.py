@@ -481,7 +481,8 @@ def build_ritz_deflation(blocks, nbr, precond, b, k: int = 40,
 
 def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
                     comp_onehot=None, comp_ids=None, extra_diag=None,
-                    mass_diag=None, v=None, max_dense: int | None = 4096):
+                    mass_diag=None, v=None, max_dense: int | None = 4096,
+                    ridge: float = 1e-5):
     """Build the *frozen* coarse-level data of the two-level preconditioner:
     the dense equilibrated coarse inverse (and the compartment-deflation
     inverse).  This is the expensive part (a ~(nc/agg)^3 Cholesky + explicit
@@ -527,7 +528,7 @@ def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
         data = build_two_level(None, nbr, agg_size * k2, sym=sym,
                                comp_onehot=comp_onehot, comp_ids=comp_ids,
                                extra_diag=extra_diag, mass_diag=mass_diag,
-                               v=v, max_dense=None)
+                               v=v, max_dense=None, ridge=ridge)
         pad = n_agg * agg_size - nc
         agg = jnp.arange(nc + pad, dtype=jnp.int32) // agg_size
         cross = agg[jnp.pad(nbr, ((0, 0), (0, pad)))] != agg[None, :]
@@ -581,13 +582,17 @@ def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
     # matrix slightly INDEFINITE (measured -1.2e-7 of lambda_max on the
     # elongated bifurcating-neuron mesh), and a NaN-poisoned cho_solve
     # silently zeroes the whole preconditioner (PCG "converges" in 0
-    # iterations).  1e-5 of the unit equilibrated diagonal sits ~100x above
-    # the observed noise and ~60x below the smallest genuine coarse mode;
-    # the modes it caps are the exact constants already handled by
-    # deflation + the masked projection.  (An eigh-clamped pseudo-inverse
-    # is cleaner but jnp.linalg.eigh at n_agg ~ 1000 is prohibitively slow
-    # to compile/run on the remote TPU backend.)
-    As = As + 1e-5 * jnp.eye(n_agg, dtype=As.dtype)
+    # iterations).  The default 1e-5 of the unit equilibrated diagonal sits
+    # ~100x above the observed noise and ~60x below the smallest genuine
+    # coarse mode ON THE EMIx-SIZE meshes it was tuned on; the modes it
+    # caps there are the exact constants already handled by deflation +
+    # the masked projection.  ``ridge`` makes it tunable: at larger chunk
+    # counts the smallest genuine coarse modes shrink and a fixed shift
+    # starts capping modes the coarse exists to treat (round-5 scale
+    # study).  (An eigh-clamped pseudo-inverse is cleaner but
+    # jnp.linalg.eigh at n_agg ~ 1000 is prohibitively slow to
+    # compile/run on the remote TPU backend.)
+    As = As + ridge * jnp.eye(n_agg, dtype=As.dtype)
     fac = jax.scipy.linalg.cho_factor(As)
     inv = jax.scipy.linalg.cho_solve(fac, jnp.eye(n_agg, dtype=As.dtype))
 
@@ -813,7 +818,7 @@ def two_level_apply_batched(data, P_diag, agg_size: int,
 def make_two_level(blocks, P_diag, nbr, agg_size: int, sym: bool = True,
                    matvec: Callable | None = None, omega: float = 2.0 / 3.0,
                    comp_onehot=None, comp_ids=None, extra_diag=None,
-                   mass_diag=None) -> Callable:
+                   mass_diag=None, ridge: float = 1e-5) -> Callable:
     """Build-and-apply in one go (see build_two_level / two_level_apply_fn).
 
     Additive combination of three SPD pieces:
@@ -854,6 +859,7 @@ def make_two_level(blocks, P_diag, nbr, agg_size: int, sym: bool = True,
     """
     data = build_two_level(blocks, nbr, agg_size, sym=sym,
                            comp_onehot=comp_onehot, comp_ids=comp_ids,
-                           extra_diag=extra_diag, mass_diag=mass_diag)
+                           extra_diag=extra_diag, mass_diag=mass_diag,
+                           ridge=ridge)
     return two_level_apply_fn(data, P_diag, agg_size, matvec=matvec,
                               omega=omega)

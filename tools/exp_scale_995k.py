@@ -47,6 +47,15 @@ CONFIGS = {
     "mom4host": dict(emi_moment_order=4, emi_moment_host=True),
     "mom4+ritz64": dict(emi_moment_order=4, emi_moment_host=True,
                         emi_ritz=64, emi_ritz_host=True),
+    # lever (d), found after (a)-(c): the fixed 1e-5 ridge on the
+    # EQUILIBRATED coarse matrix caps the smallest genuine coarse modes,
+    # which shrink as the chunk count grows (~8k chunks at 995k vs ~2k at
+    # EMIx size) -- exactly the modes the coarse level exists to treat.
+    "ridge1e-6": dict(coarse_ridge=1e-6),
+    "ridge1e-7": dict(coarse_ridge=1e-7),
+    "ridge1e-8": dict(coarse_ridge=1e-8),
+    "ridge1e-7+ritz64": dict(coarse_ridge=1e-7, emi_ritz=64,
+                             emi_ritz_host=True),
 }
 
 _MESH = None
