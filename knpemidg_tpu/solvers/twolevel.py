@@ -595,6 +595,17 @@ def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
     As = As + ridge * jnp.eye(n_agg, dtype=As.dtype)
     fac = jax.scipy.linalg.cho_factor(As)
     inv = jax.scipy.linalg.cho_solve(fac, jnp.eye(n_agg, dtype=As.dtype))
+    if ridge < 1e-5:
+        # NaN-fallback ladder: a sub-default ridge may leave the f32
+        # coarse indefinite (measured at 995k tets: ridge=1e-7 NaN-poisons
+        # the Cholesky and PCG silently "converges" in 0 iterations).
+        # Refactor at the safe 1e-5 and select -- pc-build-only cost, and
+        # the default path (ridge >= 1e-5) compiles exactly as before.
+        fac2 = jax.scipy.linalg.cho_factor(
+            As + (1e-5 - ridge) * jnp.eye(n_agg, dtype=As.dtype))
+        inv2 = jax.scipy.linalg.cho_solve(
+            fac2, jnp.eye(n_agg, dtype=As.dtype))
+        inv = jnp.where(jnp.all(jnp.isfinite(inv)), inv, inv2)
 
     # arrays only: the dict is passed straight through jit boundaries
     # (static metadata -- agg_size, refine -- travels separately)
