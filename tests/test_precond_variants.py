@@ -208,3 +208,46 @@ def test_emi_ritz_host_harvest_agrees():
         np.testing.assert_allclose(
             np.asarray(out0["c"]), np.asarray(out1["c"]),
             rtol=2e-5, atol=1e-9, err_msg=f"pair={pair}")
+
+
+def test_coarse_ridge_nan_fallback_ladder():
+    """f32 regression (round-5 995k scale study): a sub-default
+    ``coarse_ridge`` must never silently zero the preconditioner.  At 995k
+    tets ridge 1e-7/1e-8 NaN-poisoned the coarse Cholesky and EMI PCG
+    "converged" in 0 iterations every step; build_two_level now refactors
+    at the safe 1e-5 and selects by isfinite whenever ridge < 1e-5.
+
+    Construction: symmetric path-graph Laplacian coarse (singular Neumann
+    constant mode) made slightly INDEFINITE via a -1e-4 extra_diag bump on
+    one cell -- small enough that the 1e-5 shift restores positive
+    definiteness, large enough that a 1e-7 shift leaves a negative pivot
+    (NaN) in float32.  The ladder must (a) return a finite inverse and
+    (b) return the 1e-5-fallback inverse, not the poisoned one.
+    """
+    import jax.numpy as jnp
+
+    from knpemidg_tpu.solvers.twolevel import build_two_level
+
+    nc, agg = 64, 4
+    rng = np.random.default_rng(1)
+    w = (1.0 + rng.random(nc - 1)).astype(np.float32)   # edge (c, c+1)
+    nbr = np.stack([np.arange(nc),
+                    np.maximum(np.arange(nc) - 1, 0),
+                    np.minimum(np.arange(nc) + 1, nc - 1)])
+    v = np.zeros((3, nc), np.float32)
+    v[1, 1:] = -w
+    v[2, :-1] = -w
+    mass = np.zeros(nc, np.float32)
+    ed = np.zeros((1, 1, nc), np.float32)
+    ed[0, 0, 0] = -1e-4
+    kw = dict(sym=False, mass_diag=jnp.asarray(mass), v=jnp.asarray(v),
+              extra_diag=jnp.asarray(ed))
+    ref = build_two_level(None, jnp.asarray(nbr), agg, ridge=1e-5, **kw)
+    lad = build_two_level(None, jnp.asarray(nbr), agg, ridge=1e-7, **kw)
+    inv_ref = np.asarray(ref["inv"], dtype=np.float64)
+    inv_lad = np.asarray(lad["inv"], dtype=np.float64)
+    assert np.isfinite(inv_ref).all(), "safe-ridge inverse must be finite"
+    assert np.isfinite(inv_lad).all(), "ladder failed to rescue NaN coarse"
+    # the selected inverse is the 1e-5 fallback (shift 1e-5 - 1e-7), not a
+    # surviving low-ridge factorization (which would be ~100x larger here)
+    np.testing.assert_allclose(inv_lad, inv_ref, rtol=2e-2)
