@@ -190,11 +190,14 @@ class SolverParams:
     # 369), walls 155.5 vs 148.0 ms/step.
     pair_bj: str = "halves"
     # diagonal shift on the EQUILIBRATED coarse matrix before its Cholesky
-    # (solvers/twolevel.build_two_level).  The 1e-5 default was tuned on
-    # EMIx-size meshes (~2k chunks), where it sits well below the smallest
-    # genuine coarse mode; at larger chunk counts the genuine low modes
-    # shrink and a fixed shift caps exactly the modes the coarse exists to
-    # treat -- tunable for the scale study (ROADMAP round-5).
+    # (solvers/twolevel.build_two_level).  Direct f64 spectral measurement
+    # (tools/exp_coarse_spectrum.py) shows the only modes below 1e-5 at
+    # any measured chunk count are the compartment constants (handled by
+    # exact deflation); the smallest GENUINE coarse modes sit 2+ orders
+    # above, so the default shift caps nothing the coarse treats.  Values
+    # < 1e-5 risk an indefinite f32 Cholesky (measured at 995k: silent
+    # 0-iteration EMI PCG) and engage the NaN-fallback ladder in
+    # build_two_level.  Kept tunable as measured infrastructure.
     coarse_ridge: float = 1e-5
     # rebuild the frozen preconditioner every N steps (0 = freeze at t0).
     # The coarse/deflation Galerkin data drifts with the concentrations;

@@ -583,15 +583,14 @@ def build_two_level(blocks, nbr, agg_size: int, sym: bool = True,
     # elongated bifurcating-neuron mesh), and a NaN-poisoned cho_solve
     # silently zeroes the whole preconditioner (PCG "converges" in 0
     # iterations).  The default 1e-5 of the unit equilibrated diagonal sits
-    # ~100x above the observed noise and ~60x below the smallest genuine
-    # coarse mode ON THE EMIx-SIZE meshes it was tuned on; the modes it
-    # caps there are the exact constants already handled by deflation +
-    # the masked projection.  ``ridge`` makes it tunable: at larger chunk
-    # counts the smallest genuine coarse modes shrink and a fixed shift
-    # starts capping modes the coarse exists to treat (round-5 scale
-    # study).  (An eigh-clamped pseudo-inverse is cleaner but
-    # jnp.linalg.eigh at n_agg ~ 1000 is prohibitively slow to
-    # compile/run on the remote TPU backend.)
+    # ~100x above the observed noise, and direct f64 measurement
+    # (tools/exp_coarse_spectrum.py) shows the only modes below it at any
+    # measured chunk count are the compartment constants already handled
+    # by deflation + the masked projection -- the smallest GENUINE coarse
+    # modes are 2+ orders above.  ``ridge`` stays tunable; sub-default
+    # values engage the NaN-fallback ladder below.  (An eigh-clamped
+    # pseudo-inverse is cleaner but jnp.linalg.eigh at n_agg ~ 1000 is
+    # prohibitively slow to compile/run on the remote TPU backend.)
     As = As + ridge * jnp.eye(n_agg, dtype=As.dtype)
     fac = jax.scipy.linalg.cho_factor(As)
     inv = jax.scipy.linalg.cho_solve(fac, jnp.eye(n_agg, dtype=As.dtype))
