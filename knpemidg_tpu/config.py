@@ -136,6 +136,13 @@ class SolverParams:
     # budget is exhausted (ROADMAP item 12).  Costs one device->host
     # blocks pull per pc build.
     emi_moment_host: bool = False
+    # per-compartment override: ICS compartments (nonzero subdomain tag)
+    # get THIS moment order when it exceeds emi_moment_order (0 = off).
+    # The budget-exceeding membrane harmonics at ~1M tets live on the
+    # membrane-rich ICS bodies; raising the order only there avoids
+    # spending W rows (and per-iteration apply bandwidth) on the single
+    # big ECS compartment whose modes the order-2 budget already covers.
+    emi_moment_order_ics: int = 0
     # EMI Ritz deflation: harvest this many approximate small-eigenvalue
     # modes of the preconditioned operator at the INITIAL pc build
     # (device Lanczos + genuine-f64 host Galerkin; 0 = off, -1 = AUTO:

@@ -1578,10 +1578,18 @@ class Solver:
                           f"disabled for this pc build {bcolors.ENDC}")
         return pc or None
 
-    def _emi_moment_W(self, sp_: SolverParams):
+    def _emi_moment_W(self, sp_: SolverParams, host: bool = False):
         """Per-compartment moment deflation fields W (nw, nd, nc)
         (solvers/twolevel.moment_vectors): coordinates follow the shard
-        renumbering/padding when the solver is sharded."""
+        renumbering/padding when the solver is sharded.
+
+        ``host=True`` keeps W in numpy f64 (the host-f64 Galerkin path;
+        avoids a duplicate device copy -- see moment_vectors).  When
+        ``emi_moment_order_ics`` > emi_moment_order, ICS compartments (any
+        compartment whose cells carry a nonzero subdomain tag) get the
+        higher order -- they are where the membrane harmonics live, and
+        the single big ECS compartment would otherwise dominate the W row
+        count for modes the order-2 budget already covers."""
         # nodes (nd, d, nc) already follow any shard permutation and
         # padding of the cell axis; sharded solvers keep a host snapshot
         # (the device array is non-addressable under a multi-process mesh)
@@ -1594,13 +1602,32 @@ class Solver:
         extra = coords.shape[0] - comp.shape[0]
         if extra:
             comp = np.concatenate([comp, np.full(extra, -1, dtype=comp.dtype)])
+        order_per_comp = None
+        o_ics = int(getattr(sp_, "emi_moment_order_ics", 0) or 0)
+        if o_ics > sp_.emi_moment_order:
+            # cell_tags are in ORIGINAL mesh order while comp follows any
+            # pair/shard permutation -- map tags onto the padded slots
+            tags = np.asarray(self.mesh.cell_tags)
+            idx = getattr(self, "_cell_unpad_idx", None)
+            if idx is None:
+                inv = getattr(self, "_cell_perm_inv", None)
+                idx = None if inv is None else inv[: tags.shape[0]]
+            comp_of_orig = (comp[np.asarray(idx)] if idx is not None
+                            else comp[: tags.shape[0]])
+            n_comp = int(comp.max()) + 1
+            order_per_comp = np.full(n_comp, sp_.emi_moment_order, np.int64)
+            for p in range(n_comp):
+                sel = comp_of_orig == p
+                if sel.any() and (tags[sel] != 0).any():
+                    order_per_comp[p] = o_ics
         return moment_vectors(coords, comp, sp_.emi_moment_order,
-                              dtype=self.dtype)
+                              dtype=self.dtype,
+                              order_per_comp=order_per_comp, host=host)
 
     def _emi_moment_data(self, blocks, sp_: SolverParams):
         W = self._emi_moment_W(sp_)
         build = self._jit(
-            ("pc_emi_mom", sp_.emi_moment_order),
+            ("pc_emi_mom", sp_.emi_moment_order, sp_.emi_moment_order_ics),
             lambda b, Wm: build_moment_deflation(
                 None, Wm,
                 fan=lambda X: bell_matvec_fan(b, self.g["nbr"], X)),
@@ -1616,8 +1643,10 @@ class Solver:
         (ROADMAP item 12), where the membrane harmonics exceed the order-2
         budget.  On the pair layout the Galerkin runs on freshly assembled
         CELL blocks (exact: live pair entries carry the same values) and
-        the fields convert with to_pair."""
-        W = self._emi_moment_W(sp_)
+        the fields convert with to_pair.  W stays HOST-side numpy through
+        the Galerkin -- the device only ever holds the single returned
+        mom_W copy (the 995k order-3 OOM fix, ROADMAP r5 item 2)."""
+        W = self._emi_moment_W(sp_, host=True)
         pair = isinstance(blocks, tuple)
         if pair:
             phi_M_pad, _, I_ch_tot_pad = self._pads(state)
@@ -1627,7 +1656,8 @@ class Solver:
                                    I_ch_tot_pad, state["t"])
         else:
             blocks_c = blocks
-        out = ritz_galerkin_host(blocks_c, self.g["nbr"], W, ridge=1e-6)
+        out = ritz_galerkin_host(blocks_c, self.g["nbr"], W, ridge=1e-6,
+                                 out_dtype=self.dtype)
         mom = {"mom_W": out["ritz_W"], "mom_inv": out["ritz_inv"],
                "mom_s": out["ritz_s"]}
         if pair:
@@ -1646,7 +1676,8 @@ class Solver:
 
         W = self._emi_moment_W(sp_)
         build = self._jit(
-            ("pc_emi_mom_pair", sp_.emi_moment_order),
+            ("pc_emi_mom_pair", sp_.emi_moment_order,
+             sp_.emi_moment_order_ics),
             lambda bp, Wm: build_moment_deflation(
                 None, _pairs.to_pair(self.pairs, Wm),
                 fan=lambda X: _pairs.pair_matvec_fan(bp[0], bp[1],

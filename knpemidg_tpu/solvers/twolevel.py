@@ -90,7 +90,8 @@ def compartment_ids(mesh) -> np.ndarray:
     return _compartments(mesh)
 
 
-def moment_vectors(coords, comp, order: int = 2, dtype=None):
+def moment_vectors(coords, comp, order: int = 2, dtype=None,
+                   order_per_comp=None, host: bool = False):
     """Per-compartment polynomial moment fields for deflation enrichment.
 
     ``coords`` (nc, nd, d): nodal (vertex) coordinates per cell; ``comp``
@@ -107,13 +108,23 @@ def moment_vectors(coords, comp, order: int = 2, dtype=None):
     membrane sources excite higher surface harmonics whose eigenvalues sit
     between the tiny constants and the bulk -- on the EMIx mesh the EMI CG
     count at the upstroke drops 200 -> 12 with order=2 (hypre BoomerAMG
-    territory, reference solver.py:425-444)."""
+    territory, reference solver.py:425-444).
+
+    ``order_per_comp`` (optional, shape (n_comp,)): per-compartment order
+    overriding ``order`` -- the membrane-rich ICS bodies are where the
+    budget-exceeding harmonics live at ~1M tets, and raising the order
+    everywhere wastes W rows (and apply bandwidth) on the one big ECS
+    compartment.  ``host=True`` returns numpy float64 and never touches the
+    device: the host-f64 moment Galerkin path otherwise carries TWO device
+    copies of W (the build input plus the returned mom_W), which is what
+    RESOURCE_EXHAUSTED'ed the 995k-tet order-3 build (ROADMAP r5 item 2)."""
     import numpy as np
 
     comp = np.asarray(comp)
     nc, nd, d = coords.shape
     rows = []
     for p in range(int(comp.max()) + 1):
+        order_p = int(order if order_per_comp is None else order_per_comp[p])
         m = comp == p
         sel = coords[m]
         ctr = sel.mean(axis=(0, 1))
@@ -124,22 +135,24 @@ def moment_vectors(coords, comp, order: int = 2, dtype=None):
         L = np.where(L > 0, L, 1.0)
         loc = (coords - ctr) / L                   # (nc, nd, d)
         base = []
-        if order >= 1:
+        if order_p >= 1:
             base += [loc[:, :, a] for a in range(d)]
-        if order >= 2:
+        if order_p >= 2:
             base += [loc[:, :, a] * loc[:, :, b]
                      for a in range(d) for b in range(a, d)]
-        if order >= 3:
+        if order_p >= 3:
             base += [loc[:, :, a] * loc[:, :, b] * loc[:, :, c]
                      for a in range(d) for b in range(a, d)
                      for c in range(b, d)]
-        if order >= 4:
+        if order_p >= 4:
             base += [loc[:, :, a] * loc[:, :, b] * loc[:, :, c] * loc[:, :, e]
                      for a in range(d) for b in range(a, d)
                      for c in range(b, d) for e in range(c, d)]
         for f in base:
             rows.append(np.where(m[:, None], f, 0.0).T)    # (nd, nc)
     W = np.stack(rows) if rows else np.zeros((0, nd, nc))
+    if host:
+        return np.ascontiguousarray(W)
     return jnp.asarray(W, dtype=dtype)
 
 
@@ -401,7 +414,8 @@ def ritz_lanczos_W_host(blocks, nbr, data, P_diag, b, agg_size: int,
 
 
 def ritz_galerkin_host(blocks, nbr, W, ridge: float = 1e-8,
-                       project_mean: bool = False, drop_rel: float = 1e-6):
+                       project_mean: bool = False, drop_rel: float = 1e-6,
+                       out_dtype=None):
     """HOST-side float64 deflation Galerkin of the Ritz fields.
 
     Round 2 measured that an f32 Galerkin of these small-A-energy modes is
@@ -459,10 +473,15 @@ def ritz_galerkin_host(blocks, nbr, W, ridge: float = 1e-8,
     lam, V = np.linalg.eigh(Gs)
     keep = lam > 1e-6 * lam.max()
     inv = (V[:, keep] / lam[keep]) @ V[:, keep].T
-    dt = jnp.asarray(W).dtype
-    return {"ritz_W": jnp.asarray(Wh.astype(np.dtype(dt.name))),
-            "ritz_inv": jnp.asarray(inv.astype(np.dtype(dt.name))),
-            "ritz_s": jnp.asarray(sg.astype(np.dtype(dt.name)))}
+    # numpy W (the host-built moment path) must NOT round-trip through
+    # jnp.asarray just for its dtype -- that is a full-size device copy
+    # (1.5 GB at 995k tets order 3, the OOM of ROADMAP r5 item 2)
+    if out_dtype is None:
+        out_dtype = np.float32 if isinstance(W, np.ndarray) else W.dtype
+    dt = np.dtype(getattr(out_dtype, "name", out_dtype))
+    return {"ritz_W": jnp.asarray(Wh.astype(dt)),
+            "ritz_inv": jnp.asarray(inv.astype(dt)),
+            "ritz_s": jnp.asarray(sg.astype(dt))}
 
 
 def build_ritz_deflation(blocks, nbr, precond, b, k: int = 40,

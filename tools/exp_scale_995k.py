@@ -47,6 +47,15 @@ CONFIGS = {
     "mom4host": dict(emi_moment_order=4, emi_moment_host=True),
     "mom4+ritz64": dict(emi_moment_order=4, emi_moment_host=True,
                         emi_ritz=64, emi_ritz_host=True),
+    # lever (e): per-compartment moment order -- order 3/4 only on the
+    # membrane-rich ICS compartments (host-f64 Galerkin, host-built W:
+    # the flat mom3host OOM'ed on the doubled device W residency)
+    "mom3ics": dict(emi_moment_order_ics=3, emi_moment_host=True),
+    "mom4ics": dict(emi_moment_order_ics=4, emi_moment_host=True),
+    "mom3ics+ritz64": dict(emi_moment_order_ics=3, emi_moment_host=True,
+                           emi_ritz=64, emi_ritz_host=True),
+    "mom4ics+ritz64": dict(emi_moment_order_ics=4, emi_moment_host=True,
+                           emi_ritz=64, emi_ritz_host=True),
     # lever (d), found after (a)-(c): the fixed 1e-5 ridge on the
     # EQUILIBRATED coarse matrix caps the smallest genuine coarse modes,
     # which shrink as the chunk count grows (~8k chunks at 995k vs ~2k at
