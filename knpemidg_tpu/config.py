@@ -143,6 +143,18 @@ class SolverParams:
     # spending W rows (and per-iteration apply bandwidth) on the single
     # big ECS compartment whose modes the order-2 budget already covers.
     emi_moment_order_ics: int = 0
+    # axial moment extension: compartments whose bounding-box aspect
+    # exceeds ~4 (axons are ~300:1; the l=4 bundle ECS is ~70:1) get
+    # Chebyshev polynomials T_j of the scaled DOMINANT-axis coordinate
+    # appended for j = order+1 .. THIS value (0 = off).  Rationale: the
+    # scaling-table blowup is driven by domain LENGTH at fixed h
+    # (box_3d_axons(1,2) EMI window 73 -> (1,4) 343 at the same h) --
+    # slow variation ALONG the axons outgrows the tensor order-2 budget,
+    # and raising the full tensor order pays ~C(p+3,3) rows/compartment
+    # for modes that are axial.  Axial-only rows cost (p - order) each.
+    # Chebyshev (not raw monomials) keeps the high-degree Galerkin
+    # well-conditioned; |loc_axis| <= 1 by the per-axis scaling.
+    emi_moment_axial: int = 0
     # EMI Ritz deflation: harvest this many approximate small-eigenvalue
     # modes of the preconditioned operator at the INITIAL pc build
     # (device Lanczos + genuine-f64 host Galerkin; 0 = off, -1 = AUTO:

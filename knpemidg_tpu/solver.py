@@ -1620,14 +1620,16 @@ class Solver:
                 sel = comp_of_orig == p
                 if sel.any() and (tags[sel] != 0).any():
                     order_per_comp[p] = o_ics
-        return moment_vectors(coords, comp, sp_.emi_moment_order,
-                              dtype=self.dtype,
-                              order_per_comp=order_per_comp, host=host)
+        return moment_vectors(
+            coords, comp, sp_.emi_moment_order, dtype=self.dtype,
+            order_per_comp=order_per_comp, host=host,
+            axial_order=int(getattr(sp_, "emi_moment_axial", 0) or 0))
 
     def _emi_moment_data(self, blocks, sp_: SolverParams):
         W = self._emi_moment_W(sp_)
         build = self._jit(
-            ("pc_emi_mom", sp_.emi_moment_order, sp_.emi_moment_order_ics),
+            ("pc_emi_mom", sp_.emi_moment_order, sp_.emi_moment_order_ics,
+             getattr(sp_, "emi_moment_axial", 0)),
             lambda b, Wm: build_moment_deflation(
                 None, Wm,
                 fan=lambda X: bell_matvec_fan(b, self.g["nbr"], X)),
@@ -1677,7 +1679,7 @@ class Solver:
         W = self._emi_moment_W(sp_)
         build = self._jit(
             ("pc_emi_mom_pair", sp_.emi_moment_order,
-             sp_.emi_moment_order_ics),
+             sp_.emi_moment_order_ics, getattr(sp_, "emi_moment_axial", 0)),
             lambda bp, Wm: build_moment_deflation(
                 None, _pairs.to_pair(self.pairs, Wm),
                 fan=lambda X: _pairs.pair_matvec_fan(bp[0], bp[1],

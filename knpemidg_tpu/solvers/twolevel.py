@@ -91,7 +91,8 @@ def compartment_ids(mesh) -> np.ndarray:
 
 
 def moment_vectors(coords, comp, order: int = 2, dtype=None,
-                   order_per_comp=None, host: bool = False):
+                   order_per_comp=None, host: bool = False,
+                   axial_order: int = 0, axial_min_aspect: float = 4.0):
     """Per-compartment polynomial moment fields for deflation enrichment.
 
     ``coords`` (nc, nd, d): nodal (vertex) coordinates per cell; ``comp``
@@ -117,7 +118,18 @@ def moment_vectors(coords, comp, order: int = 2, dtype=None,
     compartment.  ``host=True`` returns numpy float64 and never touches the
     device: the host-f64 moment Galerkin path otherwise carries TWO device
     copies of W (the build input plus the returned mom_W), which is what
-    RESOURCE_EXHAUSTED'ed the 995k-tet order-3 build (ROADMAP r5 item 2)."""
+    RESOURCE_EXHAUSTED'ed the 995k-tet order-3 build (ROADMAP r5 item 2).
+
+    ``axial_order`` (optional): compartments whose per-axis extent aspect
+    L[a*]/max(L[other]) exceeds ``axial_min_aspect`` additionally get
+    Chebyshev polynomials T_j(loc[a*]) of the scaled dominant-axis
+    coordinate for j = order_p+1 .. axial_order.  The scaling-table EMI
+    blowup is a domain-LENGTH effect at fixed h (box_3d_axons(1,2) window
+    73 -> (1,4) 343): slow AXIAL variation outgrows the tensor budget,
+    and axial-only rows cost (axial_order - order_p) per compartment vs
+    ~C(p+3,3) for the full tensor.  Chebyshev keeps the high-degree
+    host-f64 Galerkin well-conditioned (|loc| <= 1 by the per-axis
+    scaling, so the recurrence is stable)."""
     import numpy as np
 
     comp = np.asarray(comp)
@@ -148,6 +160,16 @@ def moment_vectors(coords, comp, order: int = 2, dtype=None,
             base += [loc[:, :, a] * loc[:, :, b] * loc[:, :, c] * loc[:, :, e]
                      for a in range(d) for b in range(a, d)
                      for c in range(b, d) for e in range(c, d)]
+        if axial_order > order_p:
+            ax = int(np.argmax(L))
+            others = np.delete(L, ax)
+            if others.size == 0 or L[ax] >= axial_min_aspect * others.max():
+                x = loc[:, :, ax]
+                tm1, t = np.ones_like(x), x          # T_0, T_1
+                for j in range(2, axial_order + 1):
+                    tm1, t = t, 2.0 * x * t - tm1
+                    if j > order_p:
+                        base.append(t)
         for f in base:
             rows.append(np.where(m[:, None], f, 0.0).T)    # (nd, nc)
     W = np.stack(rows) if rows else np.zeros((0, nd, nc))

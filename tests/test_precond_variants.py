@@ -251,3 +251,58 @@ def test_coarse_ridge_nan_fallback_ladder():
     # the selected inverse is the 1e-5 fallback (shift 1e-5 - 1e-7), not a
     # surviving low-ridge factorization (which would be ~100x larger here)
     np.testing.assert_allclose(inv_lad, inv_ref, rtol=2e-2)
+
+
+def test_axial_moment_fields_and_solve():
+    """emi_moment_axial: elongated compartments get Chebyshev T_j of the
+    scaled dominant-axis coordinate for j = order+1..axial_order; round
+    compartments get none; the enriched pc still converges to the same
+    state (a deflation space change cannot move the answer)."""
+    from knpemidg_tpu.solvers.twolevel import moment_vectors
+
+    rng = np.random.default_rng(0)
+    nc, nd = 40, 4
+    coords = np.zeros((nc, nd, 3))
+    # comp 0: elongated 20:1 along y; comp 1: round
+    coords[:20, :, 0] = rng.uniform(0, 1, (20, nd))
+    coords[:20, :, 1] = rng.uniform(0, 20, (20, nd))
+    coords[:20, :, 2] = rng.uniform(0, 1, (20, nd))
+    coords[20:] = rng.uniform(0, 1, (20, nd, 3))
+    comp = np.repeat([0, 1], 20)
+
+    base = moment_vectors(coords, comp, order=2, host=True)
+    ax = moment_vectors(coords, comp, order=2, host=True, axial_order=6)
+    # only the elongated compartment gains rows: T_3..T_6 = 4 rows
+    assert ax.shape[0] == base.shape[0] + 4
+    # the new rows are T_j(loc_y) on comp 0: check T_3 = 4x^3 - 3x against
+    # the compartment's own scaled coordinate, zero on comp 1
+    sel = coords[:20]
+    ctr = sel.mean(axis=(0, 1))
+    L = np.abs(sel - ctr).max(axis=(0, 1))
+    x = ((coords - ctr) / L)[:, :, 1]
+    t3 = ax[9]      # comp 0: 9 tensor rows, then T_3 as first axial row
+    np.testing.assert_allclose(t3[:, :20], (4 * x**3 - 3 * x).T[:, :20],
+                               rtol=1e-12, atol=1e-12)
+    assert np.all(t3[:, 20:] == 0.0)
+
+    # end-to-end: enriched pc converges and agrees at solver tolerance
+    import dataclasses
+
+    from knpemidg_tpu.config import SolverParams
+    from run_2D import build_solver
+
+    sp_off = SolverParams(direct_emi=False, direct_knp=False,
+                          rtol_emi=1e-8, rtol_knp=1e-8,
+                          max_it_emi=300, max_it_knp=150, gmres_restart=10)
+    sp_on = dataclasses.replace(sp_off, emi_moment_axial=6,
+                                emi_moment_host=True)
+    S0 = build_solver(resolution=0)
+    out0, _ = S0.fused_step(sp_off)(S0.attach_pc(S0._initial_state(0.0),
+                                                 sp_off))
+    S1 = build_solver(resolution=0)
+    st = S1.attach_pc(S1._initial_state(0.0), sp_on)
+    out1, st1 = S1.fused_step(sp_on)(st)
+    assert bool(np.all(np.asarray(st1["emi_converged"])))
+    assert bool(np.all(np.asarray(st1["knp_converged"])))
+    np.testing.assert_allclose(np.asarray(out0["c"]), np.asarray(out1["c"]),
+                               rtol=2e-5, atol=1e-9)
