@@ -154,6 +154,17 @@ class SolverParams:
     # for modes that are axial.  Axial-only rows cost (p - order) each.
     # Chebyshev (not raw monomials) keeps the high-degree Galerkin
     # well-conditioned; |loc_axis| <= 1 by the per-axis scaling.
+    # MEASURED (tools/scaling_headroom.py --over emi_moment_host=1
+    # emi_moment_axial=N, 10-step window, production tolerances):
+    #   249k tets: base EMI 343 / 716 ms/step; axial6 153 / 499;
+    #              axial12 130 / 466 (1.87 us/cell, vs 0.71 at 124k)
+    #   995k tets: base EMI 1432 / 5456 ms/step; axial12 449 / 2735
+    #              (2.75 us/cell vs 5.48) -- the single biggest dent in
+    #              the mesh-size blowup (ROADMAP r5 item 2).  Stacking
+    #              emi_ritz=64+host on top RESOURCE_EXHAUSTEDs at 995k
+    #              (ritz_W 1.0 GB + mom_W 1.5 GB on a 16 GB chip).
+    # Off by default: all recorded EMIx benchmarks predate the knob, and
+    # the flagship mesh's compartments are not bundle-elongated.
     emi_moment_axial: int = 0
     # EMI Ritz deflation: harvest this many approximate small-eigenvalue
     # modes of the preconditioned operator at the INITIAL pc build
