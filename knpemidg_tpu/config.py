@@ -166,6 +166,19 @@ class SolverParams:
     # Off by default: all recorded EMIx benchmarks predate the knob, and
     # the flagship mesh's compartments are not bundle-elongated.
     emi_moment_axial: int = 0
+    # store the moment-deflation fields compartment-BLOCKED on device
+    # (twolevel.block_moment_rows): every W row is supported on exactly
+    # one compartment, yet the dense (nw, nd, nc) layout streams
+    # nc-wide mostly-zero rows twice per EMI iteration -- at 995k tets
+    # the axial-12 stack is ~1.5 GB of HBM read per apply direction and
+    # is what RESOURCE_EXHAUSTEDs the emi_ritz=64 stack (ROADMAP r5
+    # item 2b).  Blocked rows live as (n_g, rows, nd, L) over their
+    # compartment's own cell list and the apply gathers/scatters at
+    # static indices.  Exact same math (row permutation only).
+    # Requires emi_moment_host (the fields must stay host-side through
+    # the Galerkin); cell layout only.  Off by default: recorded
+    # benchmarks predate the knob.
+    emi_moment_blocked: bool = False
     # EMI Ritz deflation: harvest this many approximate small-eigenvalue
     # modes of the preconditioned operator at the INITIAL pc build
     # (device Lanczos + genuine-f64 host Galerkin; 0 = off, -1 = AUTO:

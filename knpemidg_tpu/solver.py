@@ -38,7 +38,8 @@ from .ops.spmv import (bell_matvec, bell_matvec_fan,
                        block_jacobi_inverse)
 from .solvers.krylov import bicgstab_batched, gmres, gmres_batched, pcg
 from .solvers import direct as direct_solvers
-from .solvers.twolevel import (build_moment_deflation, ritz_galerkin_host,
+from .solvers.twolevel import (block_moment_rows, build_moment_deflation,
+                               ritz_galerkin_host,
                                ritz_lanczos_W, ritz_lanczos_W_host,
                                build_two_level, compartment_ids,
                                make_two_level, moment_vectors,
@@ -1377,7 +1378,8 @@ class Solver:
                 pc["emi"] = build(blocks, Pd)
             if sp_.emi_moment_order > 0:
                 mom = (self._emi_moment_data_host(state, blocks, sp_)
-                       if getattr(sp_, "emi_moment_host", False)
+                       if (getattr(sp_, "emi_moment_host", False)
+                           or getattr(sp_, "emi_moment_blocked", False))
                        else self._emi_moment_data_any(blocks, sp_))
                 pc["emi"] = dict(pc["emi"], **mom)
             if reuse_ritz:
@@ -1578,7 +1580,8 @@ class Solver:
                           f"disabled for this pc build {bcolors.ENDC}")
         return pc or None
 
-    def _emi_moment_W(self, sp_: SolverParams, host: bool = False):
+    def _emi_moment_W(self, sp_: SolverParams, host: bool = False,
+                      return_comp: bool = False):
         """Per-compartment moment deflation fields W (nw, nd, nc)
         (solvers/twolevel.moment_vectors): coordinates follow the shard
         renumbering/padding when the solver is sharded.
@@ -1620,10 +1623,15 @@ class Solver:
                 sel = comp_of_orig == p
                 if sel.any() and (tags[sel] != 0).any():
                     order_per_comp[p] = o_ics
-        return moment_vectors(
+        out = moment_vectors(
             coords, comp, sp_.emi_moment_order, dtype=self.dtype,
             order_per_comp=order_per_comp, host=host,
-            axial_order=int(getattr(sp_, "emi_moment_axial", 0) or 0))
+            axial_order=int(getattr(sp_, "emi_moment_axial", 0) or 0),
+            return_comp=return_comp)
+        if return_comp:
+            W, row_comp = out
+            return W, row_comp, comp
+        return out
 
     def _emi_moment_data(self, blocks, sp_: SolverParams):
         W = self._emi_moment_W(sp_)
@@ -1647,9 +1655,22 @@ class Solver:
         CELL blocks (exact: live pair entries carry the same values) and
         the fields convert with to_pair.  W stays HOST-side numpy through
         the Galerkin -- the device only ever holds the single returned
-        mom_W copy (the 995k order-3 OOM fix, ROADMAP r5 item 2)."""
-        W = self._emi_moment_W(sp_, host=True)
+        mom_W copy (the 995k order-3 OOM fix, ROADMAP r5 item 2).
+
+        ``emi_moment_blocked`` (cell layout only): re-store the fields
+        compartment-BLOCKED (twolevel.block_moment_rows) so the apply
+        gathers each row over its own compartment's cells instead of
+        streaming nc-wide mostly-zero rows -- the HBM fix that lets the
+        995k axial-12 stack coexist with emi_ritz=64 (ROADMAP r5 item
+        2b).  Exact same math: rows are permuted (dense-first) and the
+        Galerkin inv/s permute with them."""
         pair = isinstance(blocks, tuple)
+        blocked = bool(getattr(sp_, "emi_moment_blocked", False)) and not pair
+        if blocked:
+            W, row_comp, comp = self._emi_moment_W(sp_, host=True,
+                                                   return_comp=True)
+        else:
+            W = self._emi_moment_W(sp_, host=True)
         if pair:
             phi_M_pad, _, I_ch_tot_pad = self._pads(state)
             asm_c = self._jit(("asm_emi", self.splitting_scheme, False),
@@ -1659,7 +1680,20 @@ class Solver:
         else:
             blocks_c = blocks
         out = ritz_galerkin_host(blocks_c, self.g["nbr"], W, ridge=1e-6,
-                                 out_dtype=self.dtype)
+                                 out_dtype=self.dtype, device_W=not blocked)
+        if blocked:
+            perm, W_dense, blk = block_moment_rows(out["ritz_W"], row_comp,
+                                                   comp)
+            inv = np.asarray(out["ritz_inv"])[perm][:, perm]
+            s = np.asarray(out["ritz_s"])[perm]
+            mom = {"mom_inv": jnp.asarray(inv), "mom_s": jnp.asarray(s)}
+            if blk is None or W_dense.shape[0]:
+                mom["mom_W"] = jnp.asarray(W_dense)
+            if blk is not None:
+                mom["momb_W"] = jnp.asarray(blk["W"])
+                mom["momb_idx"] = jnp.asarray(blk["idx"])
+                mom["momb_rowid"] = jnp.asarray(blk["rowid"])
+            return mom
         mom = {"mom_W": out["ritz_W"], "mom_inv": out["ritz_inv"],
                "mom_s": out["ritz_s"]}
         if pair:

@@ -92,7 +92,8 @@ def compartment_ids(mesh) -> np.ndarray:
 
 def moment_vectors(coords, comp, order: int = 2, dtype=None,
                    order_per_comp=None, host: bool = False,
-                   axial_order: int = 0, axial_min_aspect: float = 4.0):
+                   axial_order: int = 0, axial_min_aspect: float = 4.0,
+                   return_comp: bool = False):
     """Per-compartment polynomial moment fields for deflation enrichment.
 
     ``coords`` (nc, nd, d): nodal (vertex) coordinates per cell; ``comp``
@@ -120,6 +121,10 @@ def moment_vectors(coords, comp, order: int = 2, dtype=None,
     copies of W (the build input plus the returned mom_W), which is what
     RESOURCE_EXHAUSTED'ed the 995k-tet order-3 build (ROADMAP r5 item 2).
 
+    ``return_comp``: also return ``row_comp`` (nw,) -- the compartment id
+    owning each W row (rows are zero outside it); feeds the
+    compartment-BLOCKED apply layout (:func:`block_moment_rows`).
+
     ``axial_order`` (optional): compartments whose per-axis extent aspect
     L[a*]/max(L[other]) exceeds ``axial_min_aspect`` additionally get
     Chebyshev polynomials T_j(loc[a*]) of the scaled dominant-axis
@@ -135,6 +140,7 @@ def moment_vectors(coords, comp, order: int = 2, dtype=None,
     comp = np.asarray(comp)
     nc, nd, d = coords.shape
     rows = []
+    row_comp = []
     for p in range(int(comp.max()) + 1):
         order_p = int(order if order_per_comp is None else order_per_comp[p])
         m = comp == p
@@ -172,10 +178,15 @@ def moment_vectors(coords, comp, order: int = 2, dtype=None,
                         base.append(t)
         for f in base:
             rows.append(np.where(m[:, None], f, 0.0).T)    # (nd, nc)
+            row_comp.append(p)
     W = np.stack(rows) if rows else np.zeros((0, nd, nc))
     if host:
-        return np.ascontiguousarray(W)
-    return jnp.asarray(W, dtype=dtype)
+        W = np.ascontiguousarray(W)
+    else:
+        W = jnp.asarray(W, dtype=dtype)
+    if return_comp:
+        return W, np.asarray(row_comp, dtype=np.int64)
+    return W
 
 
 def _equilibration_scale(d):
@@ -215,6 +226,63 @@ def build_moment_deflation(matvec, W, ridge: float = 1e-6, fan=None):
     fac = jax.scipy.linalg.cho_factor(As)
     inv = jax.scipy.linalg.cho_solve(fac, jnp.eye(As.shape[0], dtype=As.dtype))
     return {"mom_W": W, "mom_inv": inv, "mom_s": sm}
+
+
+def block_moment_rows(W, row_comp, comp, max_frac: float = 0.25,
+                      lane: int = 128):
+    """Compartment-BLOCKED storage for the moment-deflation fields.
+
+    Every W row is supported on exactly ONE compartment
+    (:func:`moment_vectors` zeroes it elsewhere), yet the apply stores W
+    dense as (nw, nd, nc): at 995k tets the axial-12 stack is ~95 rows x
+    4 x 995k x 4 B = 1.5 GB of HBM read TWICE per EMI iteration, and
+    stacking emi_ritz=64 on top RESOURCE_EXHAUSTEDs the chip (ROADMAP r5
+    item 2b).  Rows of compartments holding <= ``max_frac`` of the cells
+    (the axons, ~4% each; the single big ECS stays dense) are re-stored
+    as (n_g, rpg, nd, L) over the compartment's own cell list, L = the
+    largest blocked compartment padded to a ``lane`` multiple: the apply
+    gathers r at (n_g, L) static indices instead of streaming nc-wide
+    mostly-zero rows, and the scatter back touches the same indices.
+
+    Returns ``(perm, W_dense, blk)``: ``perm`` reorders the GLOBAL row
+    axis (dense rows first, then blocked rows grouped by compartment) --
+    apply it to the Galerkin inv/s; ``blk`` is None when no compartment
+    qualifies, else ``dict(W=(n_g, rpg, nd, L), idx=(n_g, L) int32 cell
+    ids (pad 0 -- the padded W entries are zero, so gathers multiply 0
+    and scatters add 0), rowid=(n_g, rpg) int32 permuted global row ids
+    (pad nw -> a dump slot))``.  All numpy; the caller device-puts."""
+    W = np.asarray(W)
+    row_comp = np.asarray(row_comp)
+    comp = np.asarray(comp)
+    nw, nd, nc = W.shape
+    n_comp = int(comp.max()) + 1 if comp.size else 0
+    sizes = np.bincount(comp[comp >= 0], minlength=n_comp)
+    has_rows = np.zeros(n_comp, dtype=bool)
+    has_rows[np.unique(row_comp)] = True
+    blocked = (sizes <= max_frac * nc) & has_rows
+    if not blocked.any():
+        return np.arange(nw), W, None
+    dense_rows = np.flatnonzero(~blocked[row_comp])
+    groups = np.flatnonzero(blocked)
+    L = -(-int(sizes[groups].max()) // lane) * lane
+    rpg = int(max(np.sum(row_comp == g) for g in groups))
+    n_g = groups.shape[0]
+    Wb = np.zeros((n_g, rpg, nd, L), dtype=W.dtype)
+    idx = np.zeros((n_g, L), dtype=np.int32)
+    rowid = np.full((n_g, rpg), nw, dtype=np.int32)
+    perm = [dense_rows]
+    pos = dense_rows.shape[0]
+    for gi, g in enumerate(groups):
+        cells = np.flatnonzero(comp == g)
+        idx[gi, : cells.shape[0]] = cells
+        rws = np.flatnonzero(row_comp == g)
+        for si, rw in enumerate(rws):
+            Wb[gi, si, :, : cells.shape[0]] = W[rw][:, cells]
+            rowid[gi, si] = pos
+            pos += 1
+        perm.append(rws)
+    return np.concatenate(perm), np.ascontiguousarray(W[dense_rows]), dict(
+        W=Wb, idx=idx, rowid=rowid)
 
 
 def ritz_lanczos_W(blocks, nbr, precond, b, k: int = 40, n_ritz: int = 8,
@@ -367,7 +435,32 @@ def np_two_level_apply(data, P_diag, agg_size: int):
             zco = zco + invc @ (rsc - Asc @ zco)
             zc = zc + (sc * zco) @ OH
         out = z + zc[None, :]
-        if "mom_W" in d:
+        if "momb_W" in d:
+            # compartment-BLOCKED moment rows: mirror of the momb branch
+            # in two_level_apply_fn (dense rows first, then blocked rows
+            # gathered over their compartment's cells; pad rowid nw_m
+            # dumps into a scratch slot, pad idx 0 adds zeros)
+            inv_m, s_m = d["mom_inv"], d["mom_s"]
+            Wb = d["momb_W"]
+            idx_b = np.asarray(data["momb_idx"]).astype(np.int64)
+            rowid_b = np.asarray(data["momb_rowid"]).astype(np.int64)
+            nw_m = s_m.shape[0]
+            Wm = d.get("mom_W")
+            nw_d = Wm.shape[0] if Wm is not None else 0
+            rw = np.zeros(nw_m + 1)
+            if Wm is not None:
+                rw[:nw_d] = np.einsum("wic,ic->w", Wm, r)
+            rwb = np.einsum("grdl,dgl->gr", Wb, r[:, idx_b])
+            np.add.at(rw, rowid_b.ravel(), rwb.ravel())
+            al = s_m * (inv_m @ (s_m * rw[:nw_m]))
+            if Wm is not None:
+                out = out + np.einsum("w,wic->ic", al[:nw_d], Wm)
+            alp = np.concatenate([al, np.zeros(1)])
+            flat = np.einsum("gr,grdl->dgl", alp[rowid_b],
+                             Wb).reshape(nd, -1)
+            for i in range(nd):
+                np.add.at(out[i], idx_b.ravel(), flat[i])
+        elif "mom_W" in d:
             Wm, inv_m, s_m = d["mom_W"], d["mom_inv"], d["mom_s"]
             rw = s_m * np.einsum("wic,ic->w", Wm, r)
             out = out + np.einsum("w,wic->ic", s_m * (inv_m @ rw), Wm)
@@ -437,7 +530,7 @@ def ritz_lanczos_W_host(blocks, nbr, data, P_diag, b, agg_size: int,
 
 def ritz_galerkin_host(blocks, nbr, W, ridge: float = 1e-8,
                        project_mean: bool = False, drop_rel: float = 1e-6,
-                       out_dtype=None):
+                       out_dtype=None, device_W: bool = True):
     """HOST-side float64 deflation Galerkin of the Ritz fields.
 
     Round 2 measured that an f32 Galerkin of these small-A-energy modes is
@@ -501,7 +594,11 @@ def ritz_galerkin_host(blocks, nbr, W, ridge: float = 1e-8,
     if out_dtype is None:
         out_dtype = np.float32 if isinstance(W, np.ndarray) else W.dtype
     dt = np.dtype(getattr(out_dtype, "name", out_dtype))
-    return {"ritz_W": jnp.asarray(Wh.astype(dt)),
+    # device_W=False hands W back as HOST numpy: the compartment-blocked
+    # moment path re-stores it (block_moment_rows) and must never put the
+    # dense (nw, nd, nc) array on device at all
+    return {"ritz_W": (jnp.asarray(Wh.astype(dt)) if device_W
+                       else Wh.astype(dt)),
             "ritz_inv": jnp.asarray(inv.astype(dt)),
             "ritz_s": jnp.asarray(sg.astype(dt))}
 
@@ -747,6 +844,16 @@ def two_level_apply_fn(data, P_diag, agg_size: int,
     mom = "mom_W" in data
     if mom:
         Wm, inv_m, s_m = data["mom_W"], data["mom_inv"], data["mom_s"]
+    momb = "momb_W" in data
+    if momb:
+        # compartment-BLOCKED moment rows (block_moment_rows): dense rows
+        # (big compartments) in mom_W, blocked rows as (n_g, rpg, nd, L)
+        # gathered/scattered at (n_g, L) static cell indices
+        Wb = data["momb_W"]
+        idx_b, rowid_b = data["momb_idx"], data["momb_rowid"]
+        inv_m, s_m = data["mom_inv"], data["mom_s"]
+        nw_m = s_m.shape[0]
+        nw_d = data["mom_W"].shape[0] if mom else 0
     ritz = "ritz_W" in data
     if ritz:
         Wr, inv_r, s_r = data["ritz_W"], data["ritz_inv"], data["ritz_s"]
@@ -761,7 +868,20 @@ def two_level_apply_fn(data, P_diag, agg_size: int,
         if comp:
             z = z + comp_solve(OH @ rs) @ OH
         out = jnp.broadcast_to(z[None, :], (nd, nc))
-        if mom:
+        if momb:
+            rw = jnp.zeros(nw_m + 1, dtype=r.dtype)
+            if mom:
+                rw = rw.at[:nw_d].set(jnp.einsum("wic,ic->w", Wm, r))
+            rg = r[:, idx_b]                             # (nd, n_g, L)
+            rwb = jnp.einsum("grdl,dgl->gr", Wb, rg)
+            rw = rw.at[rowid_b.ravel()].add(rwb.ravel())[:nw_m]
+            al = s_m * (inv_m @ (s_m * rw))
+            if mom:
+                out = out + jnp.einsum("w,wic->ic", al[:nw_d], Wm)
+            alp = jnp.concatenate([al, jnp.zeros(1, dtype=al.dtype)])
+            vals = jnp.einsum("gr,grdl->dgl", alp[rowid_b], Wb)
+            out = out.at[:, idx_b.ravel()].add(vals.reshape(nd, -1))
+        elif mom:
             rw = s_m * jnp.einsum("wic,ic->w", Wm, r)
             out = out + jnp.einsum("w,wic->ic", s_m * (inv_m @ rw), Wm)
         if ritz:
